@@ -1,0 +1,70 @@
+"""Host-side streaming runner.
+
+The reference's L2 runtime is an infinite ``fread -> kernel -> fwrite`` loop
+per process with env-tunable buffer sizes (csdr.c:359-392).  The TPU-native
+equivalent feeds *large* fixed-size blocks (2^18..2^22 samples) to one jitted
+pipeline function while carrying the state pytree on device, and only
+synchronizes to the host at the edges.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from csdr_tpu.core.block import Block, Pipeline, VarOut
+
+DEFAULT_BLOCK = 1 << 18  # complex samples per device block
+
+
+class StreamRunner:
+    """Runs a Block/Pipeline over a long host array in fixed device blocks."""
+
+    def __init__(self, pipeline, block_size: int = DEFAULT_BLOCK, donate: bool = True):
+        self.pipeline = pipeline
+        self.block_size = block_size
+        # donate the state so XLA can update it in place across iterations
+        self._apply = jax.jit(pipeline.apply, donate_argnums=(0,) if donate else ())
+
+    def run(self, x: np.ndarray, drop_warmup: bool = False) -> np.ndarray:
+        """Process ``x`` in blocks; returns the concatenated output.
+
+        The tail of ``x`` that does not fill a whole block is dropped (the
+        reference similarly processes whole buffers; csdr.c:248 FEOF_CHECK
+        ends the stream at a short read).
+        """
+        n = self.block_size
+        state = self.pipeline.init()
+        outs = []
+        for start in range(0, len(x) - n + 1, n):
+            state, y = self._apply(state, x[start : start + n])
+            if isinstance(y, VarOut):
+                outs.append(np.asarray(y.data)[: int(y.count)])
+            else:
+                outs.append(np.asarray(y))
+        if not outs:
+            return np.zeros((0,))
+        out = np.concatenate(outs)
+        if drop_warmup:
+            out = out[self._warmup_len():]
+        return out
+
+    def _warmup_len(self) -> int:
+        # Per-block warmup counts are in *that block's* output rate; summing is
+        # only exact when later blocks are rate-preserving after the multirate
+        # ones — true for all built-in receiver chains.
+        w = 0
+        if isinstance(self.pipeline, Pipeline):
+            for b in self.pipeline.blocks:
+                w = w + b.warmup_out  # later-stage warmups add in output samples
+        else:
+            w = self.pipeline.warmup_out
+        return w
+
+
+def run_offline(pipeline, x: np.ndarray, block_size: int = DEFAULT_BLOCK,
+                drop_warmup: bool = False) -> np.ndarray:
+    """One-shot convenience wrapper around :class:`StreamRunner`."""
+    return StreamRunner(pipeline, block_size=block_size).run(x, drop_warmup=drop_warmup)

@@ -1,0 +1,114 @@
+"""Pallas TPU kernel for the polyphase decimating FIR — THE benchmark kernel
+(reference hot loop: fir_decimate_cc, libcsdr.c:528-549; SURVEY.md §3.1).
+
+Design (TPU-first, not a translation):
+- The input stream (complex64, already tail-extended by the caller) is viewed
+  in *planar polyphase* form: two float32 arrays Xr, Xi of shape (D, Kcat)
+  with X[p, k] = x[k*D + p].  XLA produces this with one fused
+  bitcast+reshape+transpose pass; the kernel then streams it once at HBM
+  speed-of-light.
+- Output tile of TK samples per grid step; each step needs slab columns
+  [i*TK, i*TK + TK + M - 1) where M = ceil(T/D).  The M-1 halo columns are
+  provided as a separately gathered side input so plain BlockSpec pipelining
+  (with automatic double-buffering) applies — no manual DMA needed.
+- Compute: acc(D, TK) = sum_m slab[:, m:m+TK] * H[m][:, None]; y = sum_p acc.
+  All float32 on the VPU: full fp32 accuracy (better than MXU bf16x3) at
+  ~2 flops/byte, i.e. memory-bound — the roofline target of BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(kout: int) -> int | None:
+    for tk in (2048, 1024, 512, 256, 128):
+        if kout % tk == 0:
+            return tk
+    return None
+
+
+def _fir_poly_kernel(xr_ref, xi_ref, hr_ref, hi_halo_r, hi_halo_i, yr_ref, yi_ref, *, m, tk):
+    # refs: xr/xi (D, TK) main slab block; halo (D, M-1); taps (M, D) in VMEM
+    slab_r = jnp.concatenate([xr_ref[:, :], hi_halo_r[:, :]], axis=1)
+    slab_i = jnp.concatenate([xi_ref[:, :], hi_halo_i[:, :]], axis=1)
+    h = hr_ref[:, :]                       # (M, D)
+    d = slab_r.shape[0]
+    acc_r = jnp.zeros((d, tk), jnp.float32)
+    acc_i = jnp.zeros((d, tk), jnp.float32)
+    for mi in range(m):
+        hm = h[mi, :][:, None]             # (D, 1)
+        acc_r = acc_r + slab_r[:, mi: mi + tk] * hm
+        acc_i = acc_i + slab_i[:, mi: mi + tk] * hm
+    yr_ref[:, :] = jnp.sum(acc_r, axis=0, keepdims=True)
+    yi_ref[:, :] = jnp.sum(acc_i, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("decimation", "kout"))
+def _fir_decimate_pallas(xcat, taps_mat, decimation: int, kout: int):
+    d = decimation
+    m = taps_mat.shape[0]
+    kcat = xcat.shape[0] // d
+    tk = _pick_tile(kout)
+    # planar polyphase views (one fused XLA pass each)
+    xf = jax.lax.bitcast_convert_type(xcat, jnp.float32).reshape(kcat, d, 2)
+    xr = xf[:, :, 0].T                     # (D, Kcat)
+    xi = xf[:, :, 1].T
+    grid = kout // tk
+    # halo side inputs: for step i, columns [i*TK+TK, i*TK+TK+M-1)
+    halo_idx = (np.arange(grid)[:, None] * tk + tk + np.arange(m - 1)[None, :]).reshape(-1)
+    halo_r = xr[:, halo_idx].reshape(d, grid, m - 1).swapaxes(0, 1).reshape(grid * d, m - 1)
+    halo_i = xi[:, halo_idx].reshape(d, grid, m - 1).swapaxes(0, 1).reshape(grid * d, m - 1)
+
+    kern = functools.partial(_fir_poly_kernel, m=m, tk=tk)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((d, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m - 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m - 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, kout), jnp.float32),
+            jax.ShapeDtypeStruct((1, kout), jnp.float32),
+        ],
+    )(xr[:, : grid * tk], xi[:, : grid * tk], taps_mat, halo_r, halo_i)
+    return (yr[0] + 1j * yi[0]).astype(jnp.complex64)
+
+
+def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
+                                    precision):
+    """Dispatch: Pallas polyphase kernel when shapes align, else XLA conv.
+
+    ``xcat`` length must satisfy len(xcat) % D == 0 and provide at least
+    kout*D + (M-1)*D samples of slab+halo context (guaranteed by
+    fir_decimate_block's round_up(T-1, D) tail).
+    """
+    from csdr_tpu.ops.fir import fir_decimate_cc  # local import, avoids cycle
+
+    d = decimation
+    t = taps.shape[0]
+    m = -(-t // d)
+    ok = (
+        xcat.shape[0] % d == 0
+        and _pick_tile(kout) is not None
+        and xcat.shape[0] // d >= kout + m - 1
+        and jax.default_backend() == "tpu"
+    )
+    if not ok:
+        return fir_decimate_cc(xcat, taps, d, precision)[:kout]
+    taps_mat = jnp.zeros((m * d,), jnp.float32).at[:t].set(taps).reshape(m, d)
+    return _fir_decimate_pallas(xcat, taps_mat, d, kout)

@@ -1,0 +1,162 @@
+"""Gain control: agc_ff (full feedback AGC), fastagc_ff (3-block lookahead),
+simple_agc_cc (1-pole) — SURVEY.md §2.7.
+
+TPU mapping per SURVEY.md §7 kernel tiers:
+- ``fastagc_ff``   : block-parallel by construction (the reference built it
+                     that way for vectorization) — pure jnp.
+- ``simple_agc_cc``: the reference's per-sample update is an *affine*
+                     recurrence in the gain, so it runs as a log-depth
+                     associative scan, not a serial loop.
+- ``agc_ff``       : genuinely nonlinear per-sample feedback (hang counters,
+                     peak memory, attack/decay branches) -> lax.scan, kept on
+                     the decimated audio rate where scan throughput suffices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csdr_tpu.core.block import Block
+
+FASTAGC_MAX_GAIN = 50.0  # reference libcsdr.c:943
+
+
+def fastagc_ff(state, x, reference=1.0):
+    """One block step of the 3-block lookahead AGC (reference libcsdr.c:946-991).
+
+    state = (buffer_1, buffer_2, peak_1, peak_2, last_gain); all buffers are
+    the same length as ``x``.  Returns (state', output) where output is the
+    gain-ramped buffer_1 (two blocks of latency, as in the reference).
+    """
+    buffer_1, buffer_2, peak_1, peak_2, last_gain = state
+    n = x.shape[0]
+    peak_input = jnp.max(jnp.abs(x))
+    target_peak = jnp.maximum(peak_input, jnp.maximum(peak_1, peak_2))
+    target_gain = jnp.minimum(reference / target_peak, FASTAGC_MAX_GAIN)
+    rate = jnp.arange(n, dtype=jnp.float32) / n
+    gain = last_gain * (1.0 - rate) + target_gain * rate
+    out = (buffer_1 * gain).astype(jnp.float32)
+    new_state = (buffer_2, x, peak_2, peak_input, target_gain)
+    return new_state, out
+
+
+def fastagc_block(reference: float = 1.0, block_size: int | None = None) -> Block:
+    def init():
+        assert block_size is not None, "fastagc_block needs block_size"
+        z = jnp.zeros((block_size,), jnp.float32)
+        return (z, z, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0))
+
+    def apply(state, x):
+        return fastagc_ff(state, x, reference)
+
+    return Block("fastagc_ff", init, apply, warmup_out=2 * (block_size or 0))
+
+
+def simple_agc_cc(x, rate, reference=1.0, max_gain=65535.0, current_gain=1.0):
+    """reference libcsdr.c:2201-2217.  Per-sample:
+      ideal = clip(reference/|x|, 0, max_gain)
+      g     = g*(1-2*rate) + rate*ideal          (the reference's exact update)
+      y     = g*x
+    Affine in g -> associative scan.  Returns (y, next_gain)."""
+    amp = jnp.abs(x)
+    ideal = jnp.clip(reference / jnp.where(amp == 0, np.inf, amp), 0.0, max_gain)
+    a = jnp.float32(1.0 - 2.0 * rate)
+    b = (rate * ideal).astype(jnp.float32)
+    n = x.shape[0]
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, bl * ar + br
+
+    ca, cb = jax.lax.associative_scan(combine, (jnp.full((n,), a), b))
+    g = ca * jnp.asarray(current_gain, jnp.float32) + cb
+    return (x * g).astype(x.dtype), g[-1]
+
+
+def simple_agc_block(rate: float, reference: float = 1.0, max_gain: float = 65535.0) -> Block:
+    def init():
+        return jnp.float32(1.0)
+
+    def apply(gain, x):
+        y, gain = simple_agc_cc(x, rate, reference, max_gain, gain)
+        return gain, y
+
+    return Block("simple_agc_cc", init, apply)
+
+
+def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.0,
+           hang_time=200, attack_wait_time=0, gain_filter_alpha=0.999,
+           last_gain=1.0):
+    """Full AGC with hang/attack-wait and gain IIR
+    (reference libcsdr_gpl.c:163-260), as a lax.scan.
+
+    Returns (y, next_gain).  Matches the reference sample-for-sample,
+    including the quirk that output[0] is last_gain*input[0] and the
+    "dc-pass" gain filter y_gain = gain + last_gain - alpha*last_gain.
+    """
+    x = x.astype(jnp.float32)
+
+    def step(carry, xi):
+        gain, last_gain_s, last_peak, hang_counter, attack_wait_counter = carry
+        input_abs = jnp.abs(xi)
+        error = reference / input_abs - gain
+
+        # INCREASE in signal level (error < 0) path
+        new_peak = jnp.where(last_peak < input_abs, input_abs, last_peak)
+        awc = jnp.where(last_peak < input_abs, attack_wait_time, attack_wait_counter)
+        inc_wait = awc > 0
+        awc_after = jnp.where(inc_wait, awc - 1, awc)
+        dgain_inc = jnp.where(inc_wait, 0.0, error * attack_rate)
+        hang_after_inc = jnp.where(inc_wait, hang_counter, hang_time)
+
+        # DECREASE path (error >= 0)
+        dec_hang = hang_counter > 0
+        dgain_dec = jnp.where(dec_hang, 0.0, error * decay_rate)
+        hang_after_dec = jnp.where(dec_hang, hang_counter - 1, hang_counter)
+
+        inc = error < 0
+        dgain = jnp.where(inc, dgain_inc, dgain_dec)
+        hang_counter_n = jnp.where(inc, hang_after_inc, hang_after_dec)
+        awc_n = jnp.where(inc, awc_after, attack_wait_counter)
+        peak_n = jnp.where(inc, new_peak, last_peak)
+
+        # the whole update (incl. counters) is skipped for exact-zero samples
+        # (reference libcsdr_gpl.c:218 `if(input[i]!=0)`)
+        nz = xi != 0
+        hang_counter_n = jnp.where(nz, hang_counter_n, hang_counter)
+        awc_n = jnp.where(nz, awc_n, attack_wait_counter)
+        peak_n = jnp.where(nz, peak_n, last_peak)
+        gain_n = jnp.where(nz, gain + dgain, gain)
+        gain_n = jnp.clip(gain_n, 0.0, max_gain)
+        gain_filt = gain_n + last_gain_s - gain_filter_alpha * last_gain_s
+        y = gain_filt * xi
+        return (gain_filt, gain_filt, peak_n, hang_counter_n, awc_n), y
+
+    init_carry = (
+        jnp.asarray(last_gain, jnp.float32),
+        jnp.asarray(last_gain, jnp.float32),
+        jnp.asarray(reference / last_gain, jnp.float32),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    # reference skips sample 0: output[0] = last_gain*input[0]
+    carry, y_rest = jax.lax.scan(step, init_carry, x[1:])
+    y0 = jnp.asarray(last_gain, jnp.float32) * x[0]
+    y = jnp.concatenate([jnp.reshape(y0, (1,)), y_rest])
+    return y, carry[0]
+
+
+def agc_block(**params) -> Block:
+    def init():
+        return jnp.float32(params.get("last_gain", 1.0))
+
+    def apply(gain, x):
+        p = dict(params)
+        p["last_gain"] = gain
+        y, gain = agc_ff(x, **p)
+        return gain, y
+
+    return Block("agc_ff", init, apply)

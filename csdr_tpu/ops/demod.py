@@ -1,0 +1,184 @@
+"""Analog demodulators & de-emphasis (SURVEY.md §2.6).
+
+All are elementwise / shift-by-one ops — pure VPU work fused by XLA — except
+the de-emphasis IIR, which is a 1-pole filter computed as an associative scan
+(log-depth, block-parallel) instead of the reference's serial loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csdr_tpu.core.block import Block
+
+# Reference scaling constant (libcsdr.c:1020-1021):
+FMDEMOD_QUADRI_K = 0.340447550238101026565118445432744920253753662109375
+
+
+def fmdemod_quadri_cf(x, last_sample=None):
+    """Quadri-correlator FM discriminator (reference libcsdr.c:1039-1071):
+    y = K*(i*dq - q*di)/(i^2+q^2), with dq/di vs previous sample; the first
+    sample differentiates against ``last_sample`` (0 at stream start).
+    Returns (y, new_last_sample)."""
+    if last_sample is None:
+        last_sample = jnp.complex64(0)
+    prev = jnp.concatenate([jnp.reshape(last_sample, (1,)), x[:-1]])
+    i, q = jnp.real(x), jnp.imag(x)
+    di = i - jnp.real(prev)
+    dq = q - jnp.imag(prev)
+    num = i * dq - q * di
+    den = i * i + q * q
+    y = jnp.where(den != 0, FMDEMOD_QUADRI_K * num / den, 0.0).astype(jnp.float32)
+    return y, x[-1]
+
+
+def fmdemod_quadri_block() -> Block:
+    def init():
+        return jnp.complex64(0)
+
+    def apply(last, x):
+        y, last = fmdemod_quadri_cf(x, last)
+        return last, y
+
+    return Block("fmdemod_quadri_cf", init, apply)
+
+
+def fmdemod_atan_cf(x, last_phase=0.0):
+    """Phase-difference discriminator (reference libcsdr.c:1004-1019):
+    y = wrap(arg(x[n]) - arg(x[n-1]))/pi.  Returns (y, next_last_phase).
+    NOTE the reference uses argof = atan2(q, i)."""
+    phase = jnp.arctan2(jnp.imag(x), jnp.real(x))
+    prev = jnp.concatenate([jnp.reshape(jnp.asarray(last_phase, jnp.float32), (1,)), phase[:-1]])
+    dphase = phase - prev
+    dphase = jnp.where(dphase < -np.pi, dphase + 2 * np.pi, dphase)
+    dphase = jnp.where(dphase > np.pi, dphase - 2 * np.pi, dphase)
+    return (dphase / np.pi).astype(jnp.float32), phase[-1]
+
+
+def fmdemod_atan_block() -> Block:
+    def init():
+        return jnp.float32(0.0)
+
+    def apply(last, x):
+        y, last = fmdemod_atan_cf(x, last)
+        return last, y
+
+    return Block("fmdemod_atan_cf", init, apply)
+
+
+def amdemod_cf(x):
+    """Magnitude AM demod (reference libcsdr.c:861-873)."""
+    return jnp.abs(x).astype(jnp.float32)
+
+
+def amdemod_estimator_cf(x, alpha=0.0, beta=0.0):
+    """alpha*max(|i|,|q|) + beta*min(|i|,|q|) magnitude estimate
+    (reference libcsdr.c:875-901; defaults minimize RMS error)."""
+    if alpha == 0:
+        alpha, beta = 0.947543636291, 0.392485425092
+    ai, aq = jnp.abs(jnp.real(x)), jnp.abs(jnp.imag(x))
+    return (alpha * jnp.maximum(ai, aq) + beta * jnp.minimum(ai, aq)).astype(jnp.float32)
+
+
+def realpart_cf(x):
+    """SSB demod tail: take I (reference csdr.c:634-645)."""
+    return jnp.real(x).astype(jnp.float32)
+
+
+def _one_pole_scan(x, alpha, y0):
+    """y[n] = alpha*x[n] + (1-alpha)*y[n-1] via associative scan.
+
+    The recurrence y = a*x + b*y_prev composes associatively over (mul, add)
+    pairs, so a serial 1-pole IIR becomes a log-depth parallel scan — the
+    block-parallel reformulation SURVEY.md §7 calls for (vs the reference's
+    serial loop libcsdr.c:1094-1096)."""
+    b = 1.0 - alpha
+    n = x.shape[0]
+    # elements: (B, A) meaning y = B*y_prev + A  composed left-to-right
+    bs = jnp.full((n,), b, jnp.float32)
+    as_ = (alpha * x).astype(jnp.float32)
+
+    def combine(l, r):
+        bl, al = l
+        br, ar = r
+        return bl * br, al * br + ar
+
+    cb, ca = jax.lax.associative_scan(combine, (bs, as_))
+    y = cb * y0 + ca
+    return y
+
+
+def _one_pole_scan_masked(x, alpha, y0, mask):
+    """Masked 1-pole: invalid samples are identity elements (1, 0) so the
+    carry skips them — how VarOut streams (SURVEY.md §7) flow through IIRs."""
+    b = jnp.where(mask, 1.0 - alpha, 1.0).astype(jnp.float32)
+    a = jnp.where(mask, alpha * x, 0.0).astype(jnp.float32)
+
+    def combine(l, r):
+        bl, al = l
+        br, ar = r
+        return bl * br, al * br + ar
+
+    cb, ca = jax.lax.associative_scan(combine, (b, a))
+    return cb * y0 + ca
+
+
+def deemphasis_wfm_ff(x, tau, sample_rate, last_output=0.0):
+    """WFM de-emphasis: 1-pole IIR LPF, alpha = dt/(tau+dt)
+    (reference libcsdr.c:1081-1097).  Returns (y, next_last_output)."""
+    dt = 1.0 / sample_rate
+    alpha = dt / (tau + dt)
+    y = _one_pole_scan(x, alpha, jnp.asarray(last_output, jnp.float32))
+    return y, y[-1]
+
+
+def deemphasis_wfm_block(tau: float, sample_rate: int) -> Block:
+    from csdr_tpu.core.block import VarOut
+
+    dt = 1.0 / sample_rate
+    alpha = dt / (tau + dt)
+
+    def init():
+        return jnp.float32(0.0)
+
+    def apply(last, x):
+        if isinstance(x, VarOut):
+            mask = jnp.arange(x.data.shape[0]) < x.count
+            y = _one_pole_scan_masked(x.data, alpha, last, mask)
+            nidx = jnp.maximum(x.count - 1, 0)
+            return y[nidx], VarOut(y, x.count)
+        y, last = deemphasis_wfm_ff(x, tau, sample_rate, last)
+        return last, y
+
+    return Block("deemphasis_wfm_ff", init, apply)
+
+
+def deemphasis_nfm_ff(x, sample_rate: int):
+    """NFM de-emphasis: fixed FIR per sample rate (reference
+    libcsdr.c:1099-1128 + predefined.h).  Stateless valid-mode FIR."""
+    from csdr_tpu import firdes
+    from csdr_tpu.ops.fir import apply_real_fir_ff
+
+    taps = firdes.deemphasis_nfm_taps(sample_rate)
+    return apply_real_fir_ff(x, jnp.asarray(taps))
+
+
+def deemphasis_nfm_block(sample_rate: int) -> Block:
+    """Streaming NFM de-emphasis (tail-carried FIR)."""
+    from csdr_tpu import firdes
+    from csdr_tpu.ops.fir import apply_real_fir_ff
+
+    taps = jnp.asarray(firdes.deemphasis_nfm_taps(sample_rate))
+    t = taps.shape[0]
+
+    def init():
+        return jnp.zeros((t - 1,), jnp.float32)
+
+    def apply(tail, x):
+        xcat = jnp.concatenate([tail, x])
+        y = apply_real_fir_ff(xcat, taps)[: x.shape[0]]
+        return xcat[x.shape[0]:], y
+
+    return Block("deemphasis_nfm_ff", init, apply, warmup_out=t - 1)

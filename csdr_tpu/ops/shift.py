@@ -1,0 +1,122 @@
+"""NCO frequency shift (mixer): output[n] = input[n] * e^{j(phi0 + 2*pi*rate*n)}.
+
+The reference carries FIVE equivalent implementations whose only purpose is to
+make per-sample sin/cos affordable on scalar CPUs (SURVEY.md §2.3:
+shift_math_cc libcsdr.c:186-207, shift_table_cc :211-265, shift_addition_cc
+libcsdr_gpl.c:27-89, shift_addfast_cc :307-465, shift_unroll_cc :268-305).
+On TPU the VPU evaluates sin/cos vector-wide, so ONE direct-form NCO covers
+them all — no recurrence, therefore none of the reference's accumulated
+rounding error (libcsdr_gpl.c:94-124 measures that drift).  ``variant=`` is
+accepted at the CLI layer for compatibility and ignored.
+
+Phase convention matches the reference: phase step per sample is 2*pi*rate
+(rate in cycles/sample = f_shift/samp_rate); mixing is
+out = in * (cos(phi) + j*sin(phi)).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from csdr_tpu.core.block import Block
+
+TWO_PI = 2.0 * np.pi
+
+
+def _frac_cycles_static(n: int, rate: float) -> np.ndarray:
+    """frac(arange(n)*rate) computed host-side in float64 — exact to 1 ULP.
+
+    For a static ``rate`` the whole phase ramp is a compile-time constant, so
+    the oscillator costs one complex exp + one complex multiply per sample at
+    run time with no accumulated error at all (unlike every reference variant,
+    which trades accuracy for trig-call count)."""
+    return np.mod(np.arange(n, dtype=np.float64) * np.float64(rate), 1.0).astype(np.float32)
+
+
+def _frac_cycles_dynamic(n: int, rate):
+    """frac(arange(n)*rate) for a *traced* rate (live retuning path).
+
+    Splits the index into 12-bit digits so every partial product stays below
+    2^12 cycles before its mod, bounding float32 error at ~4096*eps cycles —
+    comparable to the reference's recurrence drift (libcsdr_gpl.c:94-124)."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rate = jnp.asarray(rate, jnp.float32) % 1.0
+    acc = jnp.zeros(n, jnp.float32)
+    step = rate
+    for shift in range(0, 32, 12):
+        digit = ((idx >> shift) & 0xFFF).astype(jnp.float32)
+        acc = (acc + (digit * step) % 1.0) % 1.0
+        step = (step * 4096.0) % 1.0
+        if (1 << (shift + 12)) >= n:
+            break
+    return acc
+
+
+def _wrap_phase(p):
+    """Wrap to (-pi, pi] like the reference's while-loops."""
+    return jnp.asarray((p + np.pi) % TWO_PI - np.pi, jnp.float32)
+
+
+def shift_cc(x, rate, phase=0.0):
+    """Mix by ``rate`` cycles/sample starting at ``phase``; returns (y, next_phase).
+
+    Matches shift_math_cc semantics (reference libcsdr.c:186-207)."""
+    n = x.shape[0]
+    if isinstance(rate, (int, float)):
+        cycles = jnp.asarray(_frac_cycles_static(n, rate))
+        step_total = float((n * np.float64(rate)) % 1.0)
+    else:
+        cycles = _frac_cycles_dynamic(n, rate)
+        step_total = (n * rate) % 1.0
+    ph = phase + TWO_PI * cycles
+    y = (x * jnp.exp(1j * ph.astype(jnp.float32)).astype(jnp.complex64)).astype(jnp.complex64)
+    next_phase = _wrap_phase(phase + TWO_PI * step_total)
+    return y, next_phase
+
+
+def shift_block(rate: float, name: str = "shift_cc") -> Block:
+    """Streaming Block carrying the oscillator phase across blocks —
+    the pytree form of the reference's ``starting_phase`` return value."""
+
+    def init():
+        return jnp.float32(0.0)
+
+    def apply(phase, x):
+        y, next_phase = shift_cc(x, rate, phase)
+        return next_phase, y
+
+    return Block(name=name, init=init, apply=apply)
+
+
+def shift_fc(x, rate, phase=0.0):
+    """Real -> complex + shift (reference libcsdr_gpl.c:54-79 shift_addition_fc):
+    out = x[n] * e^{j phi_n} (modulator path)."""
+    return shift_cc(x.astype(jnp.complex64), rate, phase)
+
+
+def decimating_shift_cc(x, rate, decimation, phase=0.0, start_offset=0):
+    """Fused shift+decimate (reference libcsdr_gpl.c:126-160
+    decimating_shift_addition_cc): take every ``decimation``-th sample starting
+    at ``start_offset`` and rotate by an NCO stepping ``rate`` cycles per
+    *taken* sample (callers pass rate*decimation, fastddc.c:69).
+    Returns (y, count, next_phase, next_offset); y has capacity n//decimation
+    (+1 slack handled by caller alignment), entries past ``count`` are zero.
+    """
+    n_in = x.shape[0]
+    cap = (n_in + decimation - 1) // decimation
+    idx = start_offset + decimation * jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < n_in
+    idx_c = jnp.where(valid, idx, 0)
+    taken = jnp.where(valid, x[idx_c], 0.0)
+    k = jnp.arange(cap, dtype=jnp.float32)
+    if isinstance(rate, (int, float)):
+        cycles = jnp.asarray(np.mod(np.arange(cap, dtype=np.float64) * np.float64(rate), 1.0).astype(np.float32))
+    else:
+        cycles = (k * jnp.asarray(rate, jnp.float32)) % 1.0
+    ph = phase + TWO_PI * cycles
+    y = jnp.where(valid, taken * jnp.exp(1j * ph).astype(jnp.complex64), 0.0).astype(jnp.complex64)
+    count = jnp.sum(valid.astype(jnp.int32))
+    next_phase = _wrap_phase(phase + TWO_PI * ((count.astype(jnp.float32) * jnp.asarray(rate, jnp.float32)) % 1.0))
+    next_offset = (start_offset + decimation * count) - n_in
+    return y, count, next_phase, next_offset

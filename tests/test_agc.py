@@ -1,0 +1,41 @@
+"""Golden tests: AGC family vs reference (incl. the serial agc_ff as scan)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from csdr_tpu.ops import agc
+from tests.util import refbind, assert_snr, cplx_noise, real_noise
+
+
+def test_agc_ff_matches_reference():
+    rng = np.random.default_rng(0)
+    # amplitude-modulated noise so attack/decay/hang paths all trigger
+    env = 0.1 + np.abs(np.sin(np.arange(8192) / 500))
+    x = (env * rng.standard_normal(8192)).astype(np.float32)
+    ref, gref = refbind.agc_ff(x, reference=0.8, hang_time=200)
+    ours, g = agc.agc_ff(jnp.asarray(x), reference=0.8, hang_time=200)
+    assert_snr(ref, np.asarray(ours), 60, "agc_ff")
+    assert abs(float(g) - gref) / max(abs(gref), 1e-9) < 1e-2
+
+
+def test_simple_agc_matches_reference():
+    x = cplx_noise(4096, seed=1)
+    ref, gref = refbind.simple_agc_cc(x, rate=0.01, reference=0.7)
+    ours, g = agc.simple_agc_cc(jnp.asarray(x), rate=0.01, reference=0.7)
+    assert_snr(ref, np.asarray(ours), 70, "simple_agc")
+    assert abs(float(g) - gref) < 1e-3
+
+
+def test_fastagc_three_block_latency():
+    n = 1024
+    x = real_noise(4 * n, seed=2) * 0.01  # quiet -> gain should rise
+    blk = agc.fastagc_block(reference=0.5, block_size=n)
+    st = blk.init()
+    outs = []
+    for c in range(4):
+        st, y = blk.apply(st, jnp.asarray(x[c * n:(c + 1) * n]))
+        outs.append(np.asarray(y))
+    # first two blocks are zeros (lookahead pipeline fill)
+    assert np.all(outs[0] == 0) and np.all(outs[1] == 0)
+    # third output block is input block 0 amplified
+    assert np.abs(outs[2]).mean() > np.abs(x[:n]).mean() * 5

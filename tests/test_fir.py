@@ -1,0 +1,74 @@
+"""Golden tests: FIR decimator/interpolator/resampler vs the reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csdr_tpu import firdes
+from csdr_tpu.ops import fir
+from tests.util import refbind, assert_snr, cplx_noise, real_noise
+
+
+@pytest.mark.parametrize("d,bw", [(10, 0.05), (50, 0.05), (3, 0.1)])
+def test_fir_decimate_stateless_matches_reference(d, bw):
+    taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw), 0.5 / d)
+    x = cplx_noise(8192)
+    ref = refbind.fir_decimate_cc(x, taps, d)
+    ours = np.asarray(fir.fir_decimate_cc(jnp.asarray(x), jnp.asarray(taps), d))
+    assert ours.shape == ref.shape
+    assert_snr(ref, ours, 100, f"fir_decimate D={d}")
+
+
+@pytest.mark.parametrize("d", [10, 50])
+def test_fir_decimate_streaming_matches_valid(d):
+    """Streaming block over chunks == valid-mode over the stream after
+    dropping warmup outputs."""
+    taps = firdes.firdes_lowpass_f(81, 0.5 / d)
+    n_chunk = 1000 * d
+    x = cplx_noise(4 * n_chunk, seed=2)
+    blk = fir.fir_decimate_block(taps, d, use_pallas=False)
+    st = blk.init()
+    outs = []
+    for c in range(4):
+        st, y = blk.apply(st, jnp.asarray(x[c * n_chunk:(c + 1) * n_chunk]))
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs)[blk.warmup_out:]
+    ref = refbind.fir_decimate_cc(x, taps, d)
+    m = min(len(streamed), len(ref))
+    assert m > 0
+    assert_snr(ref[:m], streamed[:m], 100, f"streamed decimate D={d}")
+
+
+@pytest.mark.parametrize("i", [2, 5])
+def test_fir_interpolate_matches_reference(i):
+    taps = firdes.firdes_lowpass_f(41, 0.5 / i)
+    x = cplx_noise(2048, seed=7)
+    ref = refbind.fir_interpolate_cc(x, taps, i)
+    ours = np.asarray(fir.fir_interpolate_cc(jnp.asarray(x), taps, i))
+    m = min(len(ref), len(ours))
+    assert m > len(x) // 2 * i
+    assert_snr(ref[:m], ours[:m], 95, f"interp I={i}")
+
+
+@pytest.mark.parametrize("i,d", [(3, 2), (5, 4), (2, 3)])
+def test_rational_resampler_matches_reference(i, d):
+    taps = firdes.rational_resampler_get_lowpass_f(121, i, d)
+    x = real_noise(4096, seed=11)
+    ref, in_proc, ltd = refbind.rational_resampler_ff(x, taps, i, d)
+    y, count, in_proc2, ltd2 = fir.rational_resampler_ff(jnp.asarray(x), jnp.asarray(taps), i, d)
+    ours = np.asarray(y)[: int(count)]
+    m = min(len(ref), len(ours))
+    assert m > 0
+    assert_snr(ref[:m], ours[:m], 95, f"resampler {i}/{d}")
+    assert int(count) == len(ref)
+    assert int(in_proc2) == in_proc
+    assert int(ltd2) == ltd
+
+
+def test_apply_fir_cc_complex_taps():
+    taps = firdes.firdes_bandpass_c(31, -0.1, 0.2)
+    x = cplx_noise(512, seed=13)
+    ours = np.asarray(fir.apply_fir_cc(jnp.asarray(x), jnp.asarray(taps)))
+    # straightforward numpy model
+    ref = np.array([np.sum(x[i:i + 31] * taps) for i in range(len(x) - 30)])
+    assert_snr(ref, ours, 95, "apply_fir_cc")

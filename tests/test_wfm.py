@@ -1,0 +1,82 @@
+"""End-to-end: WFM receiver (BASELINE config 1) vs composed reference kernels,
+streamed in chunks — the A/B acceptance pattern of BASELINE.md."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from csdr_tpu.core.block import VarOut
+from csdr_tpu.models import wfm
+from csdr_tpu.ops import resamp
+from tests.util import refbind, assert_snr
+
+
+def _fm_signal(n, seed=0, dev=0.2):
+    rng = np.random.default_rng(seed)
+    audio = np.convolve(rng.standard_normal(n), np.ones(50) / 50, mode="same")
+    phase = np.cumsum(dev * audio)
+    return np.exp(1j * 2 * np.pi * phase).astype(np.complex64), audio
+
+
+def _run_pipeline_chunks(pipe, x, n_chunk):
+    st = pipe.init()
+    outs = []
+    for c in range(len(x) // n_chunk):
+        st, y = pipe.apply(st, jnp.asarray(x[c * n_chunk:(c + 1) * n_chunk]))
+        if isinstance(y, VarOut):
+            outs.append(np.asarray(y.data)[: int(y.count)])
+        else:
+            outs.append(np.asarray(y))
+    return np.concatenate(outs)
+
+
+def _reference_wfm(x, rate=5.0, tau=50e-6, audio_rate=48000):
+    demod = refbind.fmdemod_quadri_cf(x)
+    d = refbind.fractional_decimator_init(rate, 12, None)
+    dec, _ = refbind.fractional_decimator_ff(demod, d)
+    return refbind.deemphasis_wfm_ff(dec, tau, audio_rate)
+
+
+def test_fractional_decimator_matches_reference():
+    rng = np.random.default_rng(7)
+    x = np.convolve(rng.standard_normal(20000), np.ones(8) / 8, "same").astype(np.float32)
+    d = refbind.fractional_decimator_init(5.0, 12, None)
+    ref, in_proc = refbind.fractional_decimator_ff(x, d)
+    blk = resamp.fractional_decimator_block(5.0, 12)
+    st = blk.init()
+    outs = []
+    for c in range(4):
+        st, y = blk.apply(st, jnp.asarray(x[c * 5000:(c + 1) * 5000]))
+        outs.append(np.asarray(y.data)[: int(y.count)])
+    ours = np.concatenate(outs)
+    m = min(len(ref), len(ours))
+    assert m > 3500
+    assert_snr(ref[:m], ours[:m], 90, "fractional decimator")
+
+
+def test_fractional_decimator_with_prefilter():
+    from csdr_tpu import firdes
+    taps = firdes.firdes_lowpass_f(41, 0.08)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(20000).astype(np.float32)
+    d = refbind.fractional_decimator_init(3.5, 12, taps)
+    ref, _ = refbind.fractional_decimator_ff(x, d)
+    blk = resamp.fractional_decimator_block(3.5, 12, taps=taps)
+    st = blk.init()
+    outs = []
+    for c in range(4):
+        st, y = blk.apply(st, jnp.asarray(x[c * 5000:(c + 1) * 5000]))
+        outs.append(np.asarray(y.data)[: int(y.count)])
+    ours = np.concatenate(outs)
+    m = min(len(ref), len(ours))
+    assert m > 2000
+    assert_snr(ref[:m], ours[:m], 85, "frac decimator + prefilter")
+
+
+def test_wfm_basic_end_to_end():
+    x, _ = _fm_signal(48000)
+    ref = _reference_wfm(x)
+    pipe = wfm.wfm_basic()
+    ours = _run_pipeline_chunks(pipe, x, 8000)
+    m = min(len(ref), len(ours))
+    assert m > 8000
+    assert_snr(ref[:m], ours[:m], 60, "WFM basic chain")

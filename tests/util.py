@@ -1,0 +1,43 @@
+"""Shared test helpers: reference bindings import + SNR-based comparison
+(BASELINE.md: acceptance is SNR-bound for float DSP, bit-exact for byte
+domain)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "ref"))
+import refbind  # noqa: E402
+
+__all__ = ["refbind", "snr_db", "assert_snr", "cplx_noise", "real_noise"]
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-error ratio in dB between a reference and a test signal."""
+    ref = np.asarray(ref)
+    test = np.asarray(test)
+    assert ref.shape == test.shape, f"{ref.shape} vs {test.shape}"
+    err = np.abs(ref - test) ** 2
+    sig = np.abs(ref) ** 2
+    if err.sum() == 0:
+        return np.inf
+    return 10 * np.log10(sig.sum() / err.sum())
+
+
+def assert_snr(ref, test, min_db: float = 90.0, what: str = ""):
+    s = snr_db(ref, test)
+    assert s >= min_db, f"{what}: SNR {s:.1f} dB < {min_db} dB"
+    return s
+
+
+def cplx_noise(n: int, seed: int = 0, scale: float = 0.5) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (scale * (rng.standard_normal(n) + 1j * rng.standard_normal(n))).astype(np.complex64)
+
+
+def real_noise(n: int, seed: int = 0, scale: float = 0.5) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (scale * rng.standard_normal(n)).astype(np.float32)
