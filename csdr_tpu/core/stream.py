@@ -35,13 +35,21 @@ class StreamRunner:
         reference similarly processes whole buffers; csdr.c:248 FEOF_CHECK
         ends the stream at a short read).
         """
+        from csdr_tpu.core import cplx
+
         n = self.block_size
         state = self.pipeline.init()
         outs = []
+        host_is_complex = np.iscomplexobj(x)
         for start in range(0, len(x) - n + 1, n):
-            state, y = self._apply(state, x[start : start + n])
+            chunk = x[start : start + n]
+            xin = cplx.from_numpy(chunk) if host_is_complex else chunk
+            state, y = self._apply(state, xin)
             if isinstance(y, VarOut):
-                outs.append(np.asarray(y.data)[: int(y.count)])
+                data = cplx.to_numpy(y.data) if cplx.is_cf(y.data) else np.asarray(y.data)
+                outs.append(data[: int(y.count)])
+            elif cplx.is_cf(y):
+                outs.append(cplx.to_numpy(y))
             else:
                 outs.append(np.asarray(y))
         if not outs:

@@ -35,9 +35,9 @@ def _pick_tile(kout: int) -> int | None:
 
 
 def _fir_poly_kernel(xr_ref, xi_ref, hr_ref, hi_halo_r, hi_halo_i, yr_ref, yi_ref, *, m, tk):
-    # refs: xr/xi (D, TK) main slab block; halo (D, M-1); taps (M, D) in VMEM
-    slab_r = jnp.concatenate([xr_ref[:, :], hi_halo_r[:, :]], axis=1)
-    slab_i = jnp.concatenate([xi_ref[:, :], hi_halo_i[:, :]], axis=1)
+    # refs: xr/xi (D, TK) main slab block; halo (1, D, M-1); taps (M, D) in VMEM
+    slab_r = jnp.concatenate([xr_ref[:, :], hi_halo_r[0]], axis=1)
+    slab_i = jnp.concatenate([xi_ref[:, :], hi_halo_i[0]], axis=1)
     h = hr_ref[:, :]                       # (M, D)
     d = slab_r.shape[0]
     acc_r = jnp.zeros((d, tk), jnp.float32)
@@ -51,20 +51,19 @@ def _fir_poly_kernel(xr_ref, xi_ref, hr_ref, hi_halo_r, hi_halo_i, yr_ref, yi_re
 
 
 @functools.partial(jax.jit, static_argnames=("decimation", "kout"))
-def _fir_decimate_pallas(xcat, taps_mat, decimation: int, kout: int):
+def _fir_decimate_pallas(xcat_re, xcat_im, taps_mat, decimation: int, kout: int):
     d = decimation
     m = taps_mat.shape[0]
-    kcat = xcat.shape[0] // d
+    kcat = xcat_re.shape[0] // d
     tk = _pick_tile(kout)
-    # planar polyphase views (one fused XLA pass each)
-    xf = jax.lax.bitcast_convert_type(xcat, jnp.float32).reshape(kcat, d, 2)
-    xr = xf[:, :, 0].T                     # (D, Kcat)
-    xi = xf[:, :, 1].T
+    # polyphase-transposed views (one fused XLA transpose pass per plane)
+    xr = xcat_re.reshape(kcat, d).T        # (D, Kcat)
+    xi = xcat_im.reshape(kcat, d).T
     grid = kout // tk
     # halo side inputs: for step i, columns [i*TK+TK, i*TK+TK+M-1)
     halo_idx = (np.arange(grid)[:, None] * tk + tk + np.arange(m - 1)[None, :]).reshape(-1)
-    halo_r = xr[:, halo_idx].reshape(d, grid, m - 1).swapaxes(0, 1).reshape(grid * d, m - 1)
-    halo_i = xi[:, halo_idx].reshape(d, grid, m - 1).swapaxes(0, 1).reshape(grid * d, m - 1)
+    halo_r = xr[:, halo_idx].reshape(d, grid, m - 1).swapaxes(0, 1)  # (grid, D, M-1)
+    halo_i = xi[:, halo_idx].reshape(d, grid, m - 1).swapaxes(0, 1)
 
     kern = functools.partial(_fir_poly_kernel, m=m, tk=tk)
     yr, yi = pl.pallas_call(
@@ -74,8 +73,8 @@ def _fir_decimate_pallas(xcat, taps_mat, decimation: int, kout: int):
             pl.BlockSpec((d, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, m - 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, m - 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, m - 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, m - 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -86,17 +85,18 @@ def _fir_decimate_pallas(xcat, taps_mat, decimation: int, kout: int):
             jax.ShapeDtypeStruct((1, kout), jnp.float32),
         ],
     )(xr[:, : grid * tk], xi[:, : grid * tk], taps_mat, halo_r, halo_i)
-    return (yr[0] + 1j * yi[0]).astype(jnp.complex64)
+    return yr[0], yi[0]
 
 
 def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
                                     precision):
     """Dispatch: Pallas polyphase kernel when shapes align, else XLA conv.
 
-    ``xcat`` length must satisfy len(xcat) % D == 0 and provide at least
-    kout*D + (M-1)*D samples of slab+halo context (guaranteed by
+    ``xcat`` is a planar CF; its length must satisfy len % D == 0 and provide
+    at least kout*D + (M-1)*D samples of slab+halo context (guaranteed by
     fir_decimate_block's round_up(T-1, D) tail).
     """
+    from csdr_tpu.core.cplx import CF
     from csdr_tpu.ops.fir import fir_decimate_cc  # local import, avoids cycle
 
     d = decimation
@@ -111,4 +111,5 @@ def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
     if not ok:
         return fir_decimate_cc(xcat, taps, d, precision)[:kout]
     taps_mat = jnp.zeros((m * d,), jnp.float32).at[:t].set(taps).reshape(m, d)
-    return _fir_decimate_pallas(xcat, taps_mat, d, kout)
+    yr, yi = _fir_decimate_pallas(xcat.re, xcat.im, taps_mat, d, kout)
+    return CF(yr, yi)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from csdr_tpu.core.block import Block
+from csdr_tpu.core.cplx import CF
 
 FASTAGC_MAX_GAIN = 50.0  # reference libcsdr.c:943
 
@@ -54,13 +55,13 @@ def fastagc_block(reference: float = 1.0, block_size: int | None = None) -> Bloc
     return Block("fastagc_ff", init, apply, warmup_out=2 * (block_size or 0))
 
 
-def simple_agc_cc(x, rate, reference=1.0, max_gain=65535.0, current_gain=1.0):
+def simple_agc_cc(x: CF, rate, reference=1.0, max_gain=65535.0, current_gain=1.0):
     """reference libcsdr.c:2201-2217.  Per-sample:
       ideal = clip(reference/|x|, 0, max_gain)
       g     = g*(1-2*rate) + rate*ideal          (the reference's exact update)
       y     = g*x
     Affine in g -> associative scan.  Returns (y, next_gain)."""
-    amp = jnp.abs(x)
+    amp = x.abs()
     ideal = jnp.clip(reference / jnp.where(amp == 0, np.inf, amp), 0.0, max_gain)
     a = jnp.float32(1.0 - 2.0 * rate)
     b = (rate * ideal).astype(jnp.float32)
@@ -73,7 +74,7 @@ def simple_agc_cc(x, rate, reference=1.0, max_gain=65535.0, current_gain=1.0):
 
     ca, cb = jax.lax.associative_scan(combine, (jnp.full((n,), a), b))
     g = ca * jnp.asarray(current_gain, jnp.float32) + cb
-    return (x * g).astype(x.dtype), g[-1]
+    return x * g, g[-1]
 
 
 def simple_agc_block(rate: float, reference: float = 1.0, max_gain: float = 65535.0) -> Block:

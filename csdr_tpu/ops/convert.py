@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from csdr_tpu.core.cplx import CF
+
 UCHAR_MAX = 255
 SCHAR_MAX = 127
 SHRT_MAX = 32767
@@ -72,24 +74,24 @@ def convert_f_s24(x, bigendian: bool = False):
     return jnp.stack([b2, b1, b0], axis=-1).reshape(-1)
 
 
-def interleaved_to_complex(x):
-    """float32 interleaved I,Q -> complex64 (the L0 data-model bridge,
+def interleaved_to_cf(x):
+    """float32 interleaved I,Q -> planar CF (the L0 data-model bridge,
     reference libcsdr.h:46-66)."""
     x = x.reshape(-1, 2)
-    return (x[:, 0] + 1j * x[:, 1]).astype(jnp.complex64)
+    return CF(x[:, 0], x[:, 1])
 
 
-def complex_to_interleaved(x):
-    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).reshape(-1).astype(jnp.float32)
+def cf_to_interleaved(x: CF):
+    return jnp.stack([x.re, x.im], axis=-1).reshape(-1).astype(jnp.float32)
 
 
-def convert_u8_c(b):
-    """Interleaved u8 I/Q bytes -> complex64 (rtl_sdr wire format)."""
-    return interleaved_to_complex(convert_u8_f(b))
+def convert_u8_c(b) -> CF:
+    """Interleaved u8 I/Q bytes -> planar complex (rtl_sdr wire format)."""
+    return interleaved_to_cf(convert_u8_f(b))
 
 
-def convert_s16_c(b):
-    return interleaved_to_complex(convert_s16_f(b))
+def convert_s16_c(b) -> CF:
+    return interleaved_to_cf(convert_s16_f(b))
 
 
 def mono2stereo_s16(x):

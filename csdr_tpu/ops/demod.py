@@ -1,4 +1,4 @@
-"""Analog demodulators & de-emphasis (SURVEY.md §2.6).
+"""Analog demodulators & de-emphasis (SURVEY.md §2.6).  Planar CF inputs.
 
 All are elementwise / shift-by-one ops — pure VPU work fused by XLA — except
 the de-emphasis IIR, which is a 1-pole filter computed as an associative scan
@@ -11,32 +11,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from csdr_tpu.core.block import Block
+from csdr_tpu.core.block import Block, VarOut
+from csdr_tpu.core import cplx
+from csdr_tpu.core.cplx import CF
 
 # Reference scaling constant (libcsdr.c:1020-1021):
 FMDEMOD_QUADRI_K = 0.340447550238101026565118445432744920253753662109375
 
 
-def fmdemod_quadri_cf(x, last_sample=None):
+def fmdemod_quadri_cf(x: CF, last_sample: CF | None = None):
     """Quadri-correlator FM discriminator (reference libcsdr.c:1039-1071):
     y = K*(i*dq - q*di)/(i^2+q^2), with dq/di vs previous sample; the first
     sample differentiates against ``last_sample`` (0 at stream start).
     Returns (y, new_last_sample)."""
     if last_sample is None:
-        last_sample = jnp.complex64(0)
-    prev = jnp.concatenate([jnp.reshape(last_sample, (1,)), x[:-1]])
-    i, q = jnp.real(x), jnp.imag(x)
-    di = i - jnp.real(prev)
-    dq = q - jnp.imag(prev)
-    num = i * dq - q * di
-    den = i * i + q * q
+        last_sample = CF.scalar(0.0)
+    prev_re = jnp.concatenate([jnp.reshape(last_sample.re, (1,)), x.re[:-1]])
+    prev_im = jnp.concatenate([jnp.reshape(last_sample.im, (1,)), x.im[:-1]])
+    di = x.re - prev_re
+    dq = x.im - prev_im
+    num = x.re * dq - x.im * di
+    den = x.abs2()
     y = jnp.where(den != 0, FMDEMOD_QUADRI_K * num / den, 0.0).astype(jnp.float32)
     return y, x[-1]
 
 
 def fmdemod_quadri_block() -> Block:
     def init():
-        return jnp.complex64(0)
+        return CF.scalar(0.0)
 
     def apply(last, x):
         y, last = fmdemod_quadri_cf(x, last)
@@ -45,11 +47,11 @@ def fmdemod_quadri_block() -> Block:
     return Block("fmdemod_quadri_cf", init, apply)
 
 
-def fmdemod_atan_cf(x, last_phase=0.0):
+def fmdemod_atan_cf(x: CF, last_phase=0.0):
     """Phase-difference discriminator (reference libcsdr.c:1004-1019):
     y = wrap(arg(x[n]) - arg(x[n-1]))/pi.  Returns (y, next_last_phase).
     NOTE the reference uses argof = atan2(q, i)."""
-    phase = jnp.arctan2(jnp.imag(x), jnp.real(x))
+    phase = x.angle()
     prev = jnp.concatenate([jnp.reshape(jnp.asarray(last_phase, jnp.float32), (1,)), phase[:-1]])
     dphase = phase - prev
     dphase = jnp.where(dphase < -np.pi, dphase + 2 * np.pi, dphase)
@@ -68,23 +70,23 @@ def fmdemod_atan_block() -> Block:
     return Block("fmdemod_atan_cf", init, apply)
 
 
-def amdemod_cf(x):
+def amdemod_cf(x: CF):
     """Magnitude AM demod (reference libcsdr.c:861-873)."""
-    return jnp.abs(x).astype(jnp.float32)
+    return x.abs().astype(jnp.float32)
 
 
-def amdemod_estimator_cf(x, alpha=0.0, beta=0.0):
+def amdemod_estimator_cf(x: CF, alpha=0.0, beta=0.0):
     """alpha*max(|i|,|q|) + beta*min(|i|,|q|) magnitude estimate
     (reference libcsdr.c:875-901; defaults minimize RMS error)."""
     if alpha == 0:
         alpha, beta = 0.947543636291, 0.392485425092
-    ai, aq = jnp.abs(jnp.real(x)), jnp.abs(jnp.imag(x))
+    ai, aq = jnp.abs(x.re), jnp.abs(x.im)
     return (alpha * jnp.maximum(ai, aq) + beta * jnp.minimum(ai, aq)).astype(jnp.float32)
 
 
-def realpart_cf(x):
+def realpart_cf(x: CF):
     """SSB demod tail: take I (reference csdr.c:634-645)."""
-    return jnp.real(x).astype(jnp.float32)
+    return x.re
 
 
 def _one_pole_scan(x, alpha, y0):
@@ -96,7 +98,6 @@ def _one_pole_scan(x, alpha, y0):
     serial loop libcsdr.c:1094-1096)."""
     b = 1.0 - alpha
     n = x.shape[0]
-    # elements: (B, A) meaning y = B*y_prev + A  composed left-to-right
     bs = jnp.full((n,), b, jnp.float32)
     as_ = (alpha * x).astype(jnp.float32)
 
@@ -106,8 +107,7 @@ def _one_pole_scan(x, alpha, y0):
         return bl * br, al * br + ar
 
     cb, ca = jax.lax.associative_scan(combine, (bs, as_))
-    y = cb * y0 + ca
-    return y
+    return cb * y0 + ca
 
 
 def _one_pole_scan_masked(x, alpha, y0, mask):
@@ -135,8 +135,6 @@ def deemphasis_wfm_ff(x, tau, sample_rate, last_output=0.0):
 
 
 def deemphasis_wfm_block(tau: float, sample_rate: int) -> Block:
-    from csdr_tpu.core.block import VarOut
-
     dt = 1.0 / sample_rate
     alpha = dt / (tau + dt)
 

@@ -4,35 +4,35 @@ Reference semantics reproduced:
 - ``fir_decimate_cc``    libcsdr.c:528-549 — real-tap FIR at stride D over
   complex input, valid mode: y[k] = sum_t x[k*D+t] * taps[t].
 - ``fir_interpolate_cc`` libcsdr.c:579-604 — polyphase zero-stuffed FIR,
-  including the reference's quirk that tap phase starts at (I-ip) *without*
-  the mod, so tap 0 is only used by... no phase at all (kept for parity).
+  including the reference's tistart=(I-ip) tap-phase convention.
 - ``rational_resampler_ff`` libcsdr.c:607-662 — I/D polyphase with carried
-  ``last_taps_delay`` phase.
+  ``last_taps_delay`` phase, including its (T-delay)/I tap truncation.
 - ``apply_fir_cc`` / ``apply_real_fir_cc`` libcsdr.c:2261-2291.
 
-Streaming Blocks keep a zero-initialized input tail whose length is
-taps_length-1 rounded UP to a multiple of the stride, so that block
-boundaries advance by exactly ``chunk`` samples and every window of the
-infinite stream is produced once (the collective-friendly re-statement of the
-reference CLI's memmove-overlap, csdr.c:1164-1176).  The first
-``ceil((T-1)/D)`` outputs are zero-history warmup; after dropping them the
-stream equals the reference's valid-mode output exactly.
+Complex streams are planar CF pairs (see core/cplx.py).  Streaming Blocks
+keep a zero-initialized input tail whose length is taps_length-1 rounded UP
+to a multiple of the stride, so block boundaries advance by exactly ``chunk``
+samples and every window of the infinite stream is produced once (the
+collective-friendly re-statement of the reference CLI's memmove-overlap,
+csdr.c:1164-1176).  The first ``ceil((T-1)/D)`` outputs are zero-history
+warmup; after dropping them the stream equals the reference's valid-mode
+output exactly.
 
-MXU note: correlations here default to ``precision=HIGHEST`` (fp32-equivalent
-via bf16x3 passes) so float32 parity with the C reference holds to ~1e-6;
-pass ``precision='default'`` for maximum throughput when bf16 mantissa noise
-(~-40 dBc) is acceptable.
+Correlations default to ``precision=HIGHEST`` (fp32-equivalent via bf16
+passes on the MXU) so float32 parity with the C reference holds to ~1e-6;
+pass ``precision='default'`` for raw-bf16 throughput when ~-40 dBc mantissa
+noise is acceptable.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from csdr_tpu.core.block import Block
+from csdr_tpu.core import cplx
+from csdr_tpu.core.cplx import CF
 
 DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
 
@@ -52,16 +52,14 @@ def _corr_valid_strided_real(x2, taps, stride, precision):
     return out[:, 0, :]
 
 
-def fir_decimate_cc(x, taps, decimation: int, precision=DEFAULT_PRECISION):
+def fir_decimate_cc(x: CF, taps, decimation: int, precision=DEFAULT_PRECISION) -> CF:
     """Stateless valid-mode decimating FIR (reference libcsdr.c:528-549).
 
-    x: complex64 (N,);  taps: float32 (T,);  returns complex64
-    (floor((N-T)/D)+1,).
+    x: CF (N,);  taps: float32 (T,);  returns CF (floor((N-T)/D)+1,).
     """
     taps = jnp.asarray(taps, jnp.float32)
-    x2 = jnp.stack([jnp.real(x), jnp.imag(x)])
-    out = _corr_valid_strided_real(x2, taps, decimation, precision)
-    return (out[0] + 1j * out[1]).astype(jnp.complex64)
+    out = _corr_valid_strided_real(jnp.stack([x.re, x.im]), taps, decimation, precision)
+    return CF(out[0], out[1])
 
 
 def fir_decimate_ff(x, taps, decimation: int, precision=DEFAULT_PRECISION):
@@ -70,27 +68,9 @@ def fir_decimate_ff(x, taps, decimation: int, precision=DEFAULT_PRECISION):
     return out[0]
 
 
-def _polyphase_decimate_matmul(x, taps, decimation: int, precision=DEFAULT_PRECISION):
-    """Polyphase shifted-sum formulation: reshape x to (K, D) and contract a
-    (M, D) tap matrix over M static shifts — maps to fused VPU/MXU work with
-    ~1x HBM traffic.  Requires len(x) % D == 0; returns the same values as
-    :func:`fir_decimate_cc` truncated to K-M+1 outputs."""
-    d = decimation
-    t = taps.shape[0]
-    m = -(-t // d)
-    h = jnp.zeros((m * d,), jnp.float32).at[:t].set(taps).reshape(m, d)
-    k = x.shape[0] // d
-    xp = x[: k * d].reshape(k, d)
-    kout = k - m + 1
-    acc = jnp.zeros((kout, d), jnp.complex64)
-    for mi in range(m):
-        acc = acc + xp[mi: mi + kout, :] * h[mi]
-    return jnp.sum(acc, axis=1)
-
-
 def fir_decimate_block(taps, decimation: int, name: str = "fir_decimate_cc",
                        precision=DEFAULT_PRECISION, use_pallas: bool = True) -> Block:
-    """Streaming decimating FIR Block (complex in, complex out).
+    """Streaming decimating FIR Block (CF in, CF out).
 
     State: zero-init tail of length round_up(T-1, D).  Output per chunk of N
     (N % D == 0): exactly N/D samples.  warmup_out = ceil((T-1)/D).
@@ -104,12 +84,12 @@ def fir_decimate_block(taps, decimation: int, name: str = "fir_decimate_cc",
     taps_j = jnp.asarray(taps)
 
     def init():
-        return jnp.zeros((tail_len,), jnp.complex64)
+        return CF.zeros((tail_len,))
 
     def apply(tail, x):
         n = x.shape[0]
         assert n % d == 0, f"chunk size {n} must be a multiple of decimation {d}"
-        xcat = jnp.concatenate([tail, x])
+        xcat = cplx.concat([tail, x])
         if use_pallas:
             from csdr_tpu.kernels.fir_pallas import fir_decimate_pallas_or_fallback
             y = fir_decimate_pallas_or_fallback(xcat, taps_j, d, n // d, precision)
@@ -127,7 +107,7 @@ def _interp_tap_matrix(taps: np.ndarray, interpolation: int) -> np.ndarray:
     convention."""
     t = len(taps)
     i_ = interpolation
-    s_max = (t - 1) // i_ + 1            # frames length covering all phases
+    s_max = (t - 1) // i_ + 1
     h = np.zeros((s_max, i_), np.float32)
     for ip in range(i_):
         ti = i_ - ip
@@ -139,28 +119,28 @@ def _interp_tap_matrix(taps: np.ndarray, interpolation: int) -> np.ndarray:
     return h
 
 
-def fir_interpolate_cc(x, taps, interpolation: int, precision=DEFAULT_PRECISION):
-    """Stateless polyphase interpolator (reference libcsdr.c:579-604).
-
-    Returns complex64 of length (N - S + 1) * I where S = frames length.
-    Implemented as frames(N-S+1, S) @ Hmat(S, I) — a real MXU matmul per
-    real/imag part.
-    """
-    h = jnp.asarray(_interp_tap_matrix(np.asarray(taps, np.float32), interpolation))
-    s = h.shape[0]
-    n = x.shape[0]
-    k = n - s + 1
-    frames_r = _frames(jnp.real(x), k, s)
-    frames_i = _frames(jnp.imag(x), k, s)
-    yr = jnp.dot(frames_r, h, precision=precision, preferred_element_type=jnp.float32)
-    yi = jnp.dot(frames_i, h, precision=precision, preferred_element_type=jnp.float32)
-    return (yr + 1j * yi).astype(jnp.complex64).reshape(-1)
-
-
 def _frames(x, k: int, s: int):
     """Overlapping frames F[i, j] = x[i + j], shape (k, s)."""
     idx = jnp.arange(k)[:, None] + jnp.arange(s)[None, :]
     return x[idx]
+
+
+def fir_interpolate_cc(x: CF, taps, interpolation: int,
+                       precision=DEFAULT_PRECISION) -> CF:
+    """Stateless polyphase interpolator (reference libcsdr.c:579-604).
+
+    Returns CF of length (N - S + 1) * I where S = frames length.
+    Implemented as frames(N-S+1, S) @ Hmat(S, I) — a real MXU matmul per
+    plane.
+    """
+    h = jnp.asarray(_interp_tap_matrix(np.asarray(taps, np.float32), interpolation))
+    s = h.shape[0]
+    k = x.shape[0] - s + 1
+    yr = jnp.dot(_frames(x.re, k, s), h, precision=precision,
+                 preferred_element_type=jnp.float32)
+    yi = jnp.dot(_frames(x.im, k, s), h, precision=precision,
+                 preferred_element_type=jnp.float32)
+    return CF(yr.reshape(-1), yi.reshape(-1))
 
 
 def fir_interpolate_block(taps, interpolation: int,
@@ -172,44 +152,40 @@ def fir_interpolate_block(taps, interpolation: int,
     h = jnp.asarray(h_np)
 
     def init():
-        return jnp.zeros((s - 1,), jnp.complex64)
+        return CF.zeros((s - 1,))
 
     def apply(tail, x):
         n = x.shape[0]
-        xcat = jnp.concatenate([tail, x])
-        k = n
-        fr = _frames(jnp.real(xcat), k, s)
-        fi = _frames(jnp.imag(xcat), k, s)
-        yr = jnp.dot(fr, h, precision=precision, preferred_element_type=jnp.float32)
-        yi = jnp.dot(fi, h, precision=precision, preferred_element_type=jnp.float32)
-        y = (yr + 1j * yi).astype(jnp.complex64).reshape(-1)
-        return xcat[n:], y
+        xcat = cplx.concat([tail, x])
+        yr = jnp.dot(_frames(xcat.re, n, s), h, precision=precision,
+                     preferred_element_type=jnp.float32)
+        yi = jnp.dot(_frames(xcat.im, n, s), h, precision=precision,
+                     preferred_element_type=jnp.float32)
+        return xcat[n:], CF(yr.reshape(-1), yi.reshape(-1))
 
     return Block(name=name, init=init, apply=apply,
                  warmup_out=(s - 1) * interpolation)
 
 
-def plain_interpolate_cc(x, interpolation: int):
+def plain_interpolate_cc(x: CF, interpolation: int) -> CF:
     """Zero-stuffing only (reference libcsdr.c:2499-2506)."""
-    y = jnp.zeros((x.shape[0], interpolation), jnp.complex64).at[:, 0].set(x)
-    return y.reshape(-1)
+    n = x.shape[0]
+    yr = jnp.zeros((n, interpolation), jnp.float32).at[:, 0].set(x.re)
+    yi = jnp.zeros((n, interpolation), jnp.float32).at[:, 0].set(x.im)
+    return CF(yr.reshape(-1), yi.reshape(-1))
 
 
-def apply_fir_cc(x, taps, precision=DEFAULT_PRECISION):
+def apply_fir_cc(x: CF, taps: CF, precision=DEFAULT_PRECISION) -> CF:
     """Valid-mode FIR with COMPLEX taps on complex input
     (reference libcsdr.c:2261-2273): y[i] = sum_t x[i+t]*taps[t]
     (complex multiply, no conjugate)."""
-    taps = jnp.asarray(taps, jnp.complex64)
-    xr, xi = jnp.real(x), jnp.imag(x)
-    tr, ti = jnp.real(taps), jnp.imag(taps)
-    rr = _corr_valid_strided_real(xr[None], tr, 1, precision)[0]
-    ri = _corr_valid_strided_real(xr[None], ti, 1, precision)[0]
-    ir = _corr_valid_strided_real(xi[None], tr, 1, precision)[0]
-    ii = _corr_valid_strided_real(xi[None], ti, 1, precision)[0]
-    return ((rr - ii) + 1j * (ri + ir)).astype(jnp.complex64)
+    x2 = jnp.stack([x.re, x.im])
+    rr_ir = _corr_valid_strided_real(x2, taps.re, 1, precision)   # x.re*tr, x.im*tr
+    ri_ii = _corr_valid_strided_real(x2, taps.im, 1, precision)   # x.re*ti, x.im*ti
+    return CF(rr_ir[0] - ri_ii[1], ri_ii[0] + rr_ir[1])
 
 
-def apply_real_fir_cc(x, taps, precision=DEFAULT_PRECISION):
+def apply_real_fir_cc(x: CF, taps, precision=DEFAULT_PRECISION) -> CF:
     """Valid-mode real-tap FIR on complex input (reference libcsdr.c:2276-2291)."""
     return fir_decimate_cc(x, taps, 1, precision)
 
@@ -219,18 +195,33 @@ def apply_real_fir_ff(x, taps, precision=DEFAULT_PRECISION):
 
 
 # ---------------------------------------------------------------------------
-# rational resampler (I/D polyphase with carried tap phase)
+# rational resampler (I/D polyphase with carried tap phase) — real streams
 # ---------------------------------------------------------------------------
+
+def _resampler_phase_matrix(taps_np: np.ndarray, i_: int) -> np.ndarray:
+    """P[p, j] = taps[p + j*I], masked by the reference's truncation: the
+    inner loop runs exactly (T - delayi)/I terms (libcsdr.c:626-630), so
+    taps with j >= (T-p)//I are DROPPED even when p + j*I < T."""
+    t = len(taps_np)
+    s = (t - 1) // i_ + 1
+    pmat = np.zeros((i_, s), np.float32)
+    j = np.arange(s)
+    for p in range(i_):
+        ok = j < (t - p) // i_
+        pmat[p, ok] = taps_np[(p + j * i_)[ok]]
+    return pmat
+
 
 def rational_resampler_ff(x, taps, interpolation: int, decimation: int,
                           last_taps_delay=0, precision=DEFAULT_PRECISION):
-    """Reference libcsdr.c:607-662 semantics; returns (y, count, input_processed,
-    next_taps_delay).  y has capacity N*I//D; entries past count are zero.
+    """Reference libcsdr.c:607-662 semantics; returns (y, count,
+    input_processed, next_taps_delay).  y has capacity N*I//D; entries past
+    count are zero.
 
     For each output oi:
       startingi = (oi*D + I - 1 - ltd) // I
       delayi    = (ltd + startingi*I - oi*D) % I
-      y[oi]     = I * sum_i x[startingi+i] * taps[delayi + i*I]
+      y[oi]     = I * sum_j x[startingi+j] * taps[delayi + j*I]
     stopping when startingi + T//I + 1 > N.
     """
     taps = jnp.asarray(taps, jnp.float32)
@@ -243,18 +234,8 @@ def rational_resampler_ff(x, taps, interpolation: int, decimation: int,
     startingi = (oi * d_ + i_ - 1 - ltd) // i_
     delayi = (ltd + startingi * i_ - oi * d_) % i_
     valid = startingi + t // i_ + 1 <= n
-    # phase tap matrix: P[p, j] = taps[p + j*I], rows = delay phases.
-    # NOTE the reference inner loop runs exactly (T - delayi)/I (integer
-    # division) terms (libcsdr.c:626-630), TRUNCATING tail taps when the
-    # division is inexact — mirrored here by masking j >= (T-p)//I.
-    j = np.arange((t + i_ - 1) // i_)
-    pmat = np.zeros((i_, len(j)), np.float32)
-    tnp = np.asarray(taps)
-    for p in range(i_):
-        idx = p + j * i_
-        ok = j < (t - p) // i_
-        pmat[p, ok] = tnp[idx[ok]]
-    s = len(j)
+    pmat = _resampler_phase_matrix(np.asarray(taps), i_)
+    s = pmat.shape[1]
     gidx = startingi[:, None] + jnp.arange(s)[None, :]
     gidx_c = jnp.clip(gidx, 0, n - 1)
     frames = jnp.where(gidx < n, x[gidx_c], 0.0)
@@ -288,50 +269,41 @@ def rational_resampler_block(taps, interpolation: int, decimation: int,
     i_, d_ = interpolation, decimation
     s = (t - 1) // i_ + 1                      # frame length
     shift_out = -(-s * i_ // d_)               # output delay (samples)
-    pmat = np.zeros((i_, s), np.float32)
-    j = np.arange(s)
-    for p in range(i_):
-        idx = p + j * i_
-        ok = j < (t - p) // i_   # reference truncation, see rational_resampler_ff
-        pmat[p, ok] = taps_np[idx[ok]]
-    pmat_j = jnp.asarray(pmat)
+    pmat_j = jnp.asarray(_resampler_phase_matrix(taps_np, i_))
 
-    def _S(m):  # python/numpy ints incl. negatives (floor div)
+    def _S(m):
         return (m * d_ + i_ - 1) // i_
 
     def _delay(m):
         return (_S(m) * i_ - m * d_) % i_
 
-    def make_apply(n: int):
+    cache = {}
+
+    def make_plan(n: int):
         nout = n * i_ // d_
         assert nout * d_ == n * i_, "chunk*I must be divisible by D"
         k = np.arange(nout)
         m = k - shift_out
-        start_rel = _S(m)                      # relative to chunk start
+        start_rel = _S(m)
         tail_len = int(max(s + 1, -start_rel.min() + 1))
-        xidx = start_rel + tail_len            # >= 0 in xcat coords
+        xidx = start_rel + tail_len
         assert xidx.min() >= 0 and xidx.max() + s - 1 < tail_len + n
         gidx = jnp.asarray(xidx[:, None] + np.arange(s)[None, :])
         phase = jnp.asarray(_delay(m).astype(np.int32))
         return tail_len, gidx, phase
 
-    cache = {}
-
     def init():
-        return None  # tail allocated lazily on first apply via chunk size
+        return None  # tail allocated lazily (length depends on chunk size)
 
     def apply(tail, x):
         n = x.shape[0]
         if n not in cache:
-            cache[n] = make_apply(n)
+            cache[n] = make_plan(n)
         tail_len, gidx, phase = cache[n]
         if tail is None:
             tail = jnp.zeros((tail_len,), jnp.float32)
         xcat = jnp.concatenate([tail, x])
-        frames = xcat[gidx]
-        y = jnp.sum(frames * pmat_j[phase], axis=1, dtype=jnp.float32) * i_
+        y = jnp.sum(xcat[gidx] * pmat_j[phase], axis=1, dtype=jnp.float32) * i_
         return xcat[n:], y
 
-    return Block(name=name, init=init, apply=apply,
-                 warmup_out=-(-s * i_ // d_))
-
+    return Block(name=name, init=init, apply=apply, warmup_out=shift_out)

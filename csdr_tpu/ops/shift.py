@@ -11,7 +11,7 @@ accepted at the CLI layer for compatibility and ignored.
 
 Phase convention matches the reference: phase step per sample is 2*pi*rate
 (rate in cycles/sample = f_shift/samp_rate); mixing is
-out = in * (cos(phi) + j*sin(phi)).
+out = in * (cos(phi) + j*sin(phi)).  Signals are planar CF pairs.
 """
 
 from __future__ import annotations
@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from csdr_tpu.core.block import Block
+from csdr_tpu.core.cplx import CF, expj
 
 TWO_PI = 2.0 * np.pi
 
@@ -28,8 +29,8 @@ def _frac_cycles_static(n: int, rate: float) -> np.ndarray:
     """frac(arange(n)*rate) computed host-side in float64 — exact to 1 ULP.
 
     For a static ``rate`` the whole phase ramp is a compile-time constant, so
-    the oscillator costs one complex exp + one complex multiply per sample at
-    run time with no accumulated error at all (unlike every reference variant,
+    the oscillator costs one sin/cos + one complex multiply per sample at run
+    time with no accumulated error at all (unlike every reference variant,
     which trades accuracy for trig-call count)."""
     return np.mod(np.arange(n, dtype=np.float64) * np.float64(rate), 1.0).astype(np.float32)
 
@@ -58,7 +59,7 @@ def _wrap_phase(p):
     return jnp.asarray((p + np.pi) % TWO_PI - np.pi, jnp.float32)
 
 
-def shift_cc(x, rate, phase=0.0):
+def shift_cc(x: CF, rate, phase=0.0):
     """Mix by ``rate`` cycles/sample starting at ``phase``; returns (y, next_phase).
 
     Matches shift_math_cc semantics (reference libcsdr.c:186-207)."""
@@ -69,8 +70,7 @@ def shift_cc(x, rate, phase=0.0):
     else:
         cycles = _frac_cycles_dynamic(n, rate)
         step_total = (n * rate) % 1.0
-    ph = phase + TWO_PI * cycles
-    y = (x * jnp.exp(1j * ph.astype(jnp.float32)).astype(jnp.complex64)).astype(jnp.complex64)
+    y = x * expj(phase + TWO_PI * cycles)
     next_phase = _wrap_phase(phase + TWO_PI * step_total)
     return y, next_phase
 
@@ -91,31 +91,34 @@ def shift_block(rate: float, name: str = "shift_cc") -> Block:
 
 def shift_fc(x, rate, phase=0.0):
     """Real -> complex + shift (reference libcsdr_gpl.c:54-79 shift_addition_fc):
-    out = x[n] * e^{j phi_n} (modulator path)."""
-    return shift_cc(x.astype(jnp.complex64), rate, phase)
+    out = x[n] * e^{j phi_n} (modulator path).  x is a real array."""
+    return shift_cc(CF(jnp.asarray(x, jnp.float32), jnp.zeros_like(x, jnp.float32)),
+                    rate, phase)
 
 
-def decimating_shift_cc(x, rate, decimation, phase=0.0, start_offset=0):
+def decimating_shift_cc(x: CF, rate, decimation, phase=0.0, start_offset=0):
     """Fused shift+decimate (reference libcsdr_gpl.c:126-160
     decimating_shift_addition_cc): take every ``decimation``-th sample starting
     at ``start_offset`` and rotate by an NCO stepping ``rate`` cycles per
     *taken* sample (callers pass rate*decimation, fastddc.c:69).
-    Returns (y, count, next_phase, next_offset); y has capacity n//decimation
-    (+1 slack handled by caller alignment), entries past ``count`` are zero.
+    Returns (y, count, next_phase, next_offset); y has capacity
+    ceil(n/decimation), entries past ``count`` are zero.
     """
     n_in = x.shape[0]
     cap = (n_in + decimation - 1) // decimation
     idx = start_offset + decimation * jnp.arange(cap, dtype=jnp.int32)
     valid = idx < n_in
     idx_c = jnp.where(valid, idx, 0)
-    taken = jnp.where(valid, x[idx_c], 0.0)
-    k = jnp.arange(cap, dtype=jnp.float32)
+    from csdr_tpu.core import cplx
+    taken = cplx.where(valid, x[idx_c], CF.scalar(0.0))
     if isinstance(rate, (int, float)):
         cycles = jnp.asarray(np.mod(np.arange(cap, dtype=np.float64) * np.float64(rate), 1.0).astype(np.float32))
     else:
+        k = jnp.arange(cap, dtype=jnp.float32)
         cycles = (k * jnp.asarray(rate, jnp.float32)) % 1.0
     ph = phase + TWO_PI * cycles
-    y = jnp.where(valid, taken * jnp.exp(1j * ph).astype(jnp.complex64), 0.0).astype(jnp.complex64)
+    y = taken * expj(ph)
+    y = cplx.where(valid, y, CF.scalar(0.0))
     count = jnp.sum(valid.astype(jnp.int32))
     next_phase = _wrap_phase(phase + TWO_PI * ((count.astype(jnp.float32) * jnp.asarray(rate, jnp.float32)) % 1.0))
     next_offset = (start_offset + decimation * count) - n_in

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from csdr_tpu.core.block import Block
+from csdr_tpu.core import cplx
+from csdr_tpu.core.cplx import CF
 
 
 def gain_ff(x, gain):
@@ -90,35 +92,35 @@ def get_power_f(x, decimation: int = 1):
     return jnp.sum(x[::decimation] * x[::decimation]) / x.shape[0]
 
 
-def get_power_c(x, decimation: int = 1):
+def get_power_c(x: CF, decimation: int = 1):
     xs = x[::decimation]
-    return jnp.sum(jnp.real(xs) ** 2 + jnp.imag(xs) ** 2) / x.shape[0]
+    return jnp.sum(xs.abs2()) / x.shape[0]
 
 
-def add_dcoffset_cc(x):
+def add_dcoffset_cc(x: CF) -> CF:
     """reference libcsdr.c:1174-1178: i -> 0.5 + i/2, q -> q/2."""
-    return (0.5 + jnp.real(x) / 2 + 1j * (jnp.imag(x) / 2)).astype(jnp.complex64)
+    return CF(0.5 + x.re / 2, x.im / 2)
 
 
-def fixed_amplitude_cc(x, new_amplitude):
+def fixed_amplitude_cc(x: CF, new_amplitude) -> CF:
     """Normalize each sample to a fixed magnitude (reference libcsdr.c:1198-1212)."""
-    amp = jnp.abs(x)
+    amp = x.abs()
     gain = jnp.where(amp > 0, new_amplitude / amp, 0.0)
-    return (x * gain).astype(jnp.complex64)
+    return x * gain
 
 
 def add_ff(a, b):
     return a + b
 
 
-def squelch_and_smeter_cc(x, squelch_level, use_every_nth: int = 1):
+def squelch_and_smeter_cc(x: CF, squelch_level, use_every_nth: int = 1):
     """Power gate + S-meter (reference csdr.c:2192-2243): compute block power
     (strided), zero the block if power < level (unless level == 0).
     Returns (y, power).  FIFO-based live control/reporting maps to the scalar
     ``squelch_level`` input and ``power`` output of the jitted step."""
     power = get_power_c(x, use_every_nth)
     open_ = (squelch_level == 0.0) | (power >= squelch_level)
-    y = jnp.where(open_, x, jnp.zeros_like(x))
+    y = cplx.where(open_, x, CF.scalar(0.0))
     return y, power
 
 

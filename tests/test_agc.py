@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from csdr_tpu.ops import agc
-from tests.util import refbind, assert_snr, cplx_noise, real_noise
+from tests.util import refbind, assert_snr, cplx_noise, real_noise, to_dev, to_host
 
 
 def test_agc_ff_matches_reference():
@@ -21,8 +21,8 @@ def test_agc_ff_matches_reference():
 def test_simple_agc_matches_reference():
     x = cplx_noise(4096, seed=1)
     ref, gref = refbind.simple_agc_cc(x, rate=0.01, reference=0.7)
-    ours, g = agc.simple_agc_cc(jnp.asarray(x), rate=0.01, reference=0.7)
-    assert_snr(ref, np.asarray(ours), 70, "simple_agc")
+    ours, g = agc.simple_agc_cc(to_dev(x), rate=0.01, reference=0.7)
+    assert_snr(ref, to_host(ours), 70, "simple_agc")
     assert abs(float(g) - gref) < 1e-3
 
 

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from csdr_tpu.ops import demod, util_ops
-from tests.util import refbind, assert_snr, cplx_noise, real_noise
+from tests.util import refbind, assert_snr, cplx_noise, real_noise, to_dev, to_host
 
 
 def _fm_signal(n=8192, seed=0):
@@ -19,21 +19,21 @@ def _fm_signal(n=8192, seed=0):
 def test_fmdemod_quadri_matches_reference():
     x = _fm_signal()
     ref = refbind.fmdemod_quadri_cf(x)
-    ours, _ = demod.fmdemod_quadri_cf(jnp.asarray(x))
+    ours, _ = demod.fmdemod_quadri_cf(to_dev(x))
     assert_snr(ref, np.asarray(ours), 90, "fmdemod_quadri")
 
 
 def test_fmdemod_atan_matches_reference():
     x = _fm_signal(seed=1)
     ref, _ = refbind.fmdemod_atan_cf(x)
-    ours, _ = demod.fmdemod_atan_cf(jnp.asarray(x))
+    ours, _ = demod.fmdemod_atan_cf(to_dev(x))
     assert_snr(ref, np.asarray(ours), 80, "fmdemod_atan")
 
 
 def test_amdemod():
     x = cplx_noise(2048, seed=2)
     ref = refbind.amdemod_cf(x)
-    ours = np.asarray(demod.amdemod_cf(jnp.asarray(x)))
+    ours = np.asarray(demod.amdemod_cf(to_dev(x)))
     assert_snr(ref, ours, 100, "amdemod")
 
 

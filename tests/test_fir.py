@@ -6,7 +6,7 @@ import pytest
 
 from csdr_tpu import firdes
 from csdr_tpu.ops import fir
-from tests.util import refbind, assert_snr, cplx_noise, real_noise
+from tests.util import refbind, assert_snr, cplx_noise, real_noise, to_dev, to_host
 
 
 @pytest.mark.parametrize("d,bw", [(10, 0.05), (50, 0.05), (3, 0.1)])
@@ -14,7 +14,7 @@ def test_fir_decimate_stateless_matches_reference(d, bw):
     taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw), 0.5 / d)
     x = cplx_noise(8192)
     ref = refbind.fir_decimate_cc(x, taps, d)
-    ours = np.asarray(fir.fir_decimate_cc(jnp.asarray(x), jnp.asarray(taps), d))
+    ours = to_host(fir.fir_decimate_cc(to_dev(x), jnp.asarray(taps), d))
     assert ours.shape == ref.shape
     assert_snr(ref, ours, 100, f"fir_decimate D={d}")
 
@@ -30,8 +30,8 @@ def test_fir_decimate_streaming_matches_valid(d):
     st = blk.init()
     outs = []
     for c in range(4):
-        st, y = blk.apply(st, jnp.asarray(x[c * n_chunk:(c + 1) * n_chunk]))
-        outs.append(np.asarray(y))
+        st, y = blk.apply(st, to_dev(x[c * n_chunk:(c + 1) * n_chunk]))
+        outs.append(to_host(y))
     streamed = np.concatenate(outs)[blk.warmup_out:]
     ref = refbind.fir_decimate_cc(x, taps, d)
     m = min(len(streamed), len(ref))
@@ -44,7 +44,7 @@ def test_fir_interpolate_matches_reference(i):
     taps = firdes.firdes_lowpass_f(41, 0.5 / i)
     x = cplx_noise(2048, seed=7)
     ref = refbind.fir_interpolate_cc(x, taps, i)
-    ours = np.asarray(fir.fir_interpolate_cc(jnp.asarray(x), taps, i))
+    ours = to_host(fir.fir_interpolate_cc(to_dev(x), taps, i))
     m = min(len(ref), len(ours))
     assert m > len(x) // 2 * i
     assert_snr(ref[:m], ours[:m], 95, f"interp I={i}")
@@ -68,7 +68,7 @@ def test_rational_resampler_matches_reference(i, d):
 def test_apply_fir_cc_complex_taps():
     taps = firdes.firdes_bandpass_c(31, -0.1, 0.2)
     x = cplx_noise(512, seed=13)
-    ours = np.asarray(fir.apply_fir_cc(jnp.asarray(x), jnp.asarray(taps)))
+    ours = to_host(fir.apply_fir_cc(to_dev(x), to_dev(taps)))
     # straightforward numpy model
     ref = np.array([np.sum(x[i:i + 31] * taps) for i in range(len(x) - 30)])
     assert_snr(ref, ours, 95, "apply_fir_cc")

@@ -7,7 +7,7 @@ import numpy as np
 from csdr_tpu.core.block import VarOut
 from csdr_tpu.models import wfm
 from csdr_tpu.ops import resamp
-from tests.util import refbind, assert_snr
+from tests.util import refbind, assert_snr, to_dev, to_host
 
 
 def _fm_signal(n, seed=0, dev=0.2):
@@ -21,7 +21,9 @@ def _run_pipeline_chunks(pipe, x, n_chunk):
     st = pipe.init()
     outs = []
     for c in range(len(x) // n_chunk):
-        st, y = pipe.apply(st, jnp.asarray(x[c * n_chunk:(c + 1) * n_chunk]))
+        chunk = x[c * n_chunk:(c + 1) * n_chunk]
+        xin = to_dev(chunk) if np.iscomplexobj(chunk) else jnp.asarray(chunk)
+        st, y = pipe.apply(st, xin)
         if isinstance(y, VarOut):
             outs.append(np.asarray(y.data)[: int(y.count)])
         else:

@@ -12,7 +12,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent / "ref"))
 import refbind  # noqa: E402
 
-__all__ = ["refbind", "snr_db", "assert_snr", "cplx_noise", "real_noise"]
+from csdr_tpu.core import cplx  # noqa: E402
+
+to_dev = cplx.from_numpy       # np complex64 -> planar CF on device
+to_host = cplx.to_numpy        # CF -> np complex
+
+__all__ = ["refbind", "snr_db", "assert_snr", "cplx_noise", "real_noise",
+           "to_dev", "to_host"]
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
