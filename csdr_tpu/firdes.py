@@ -154,14 +154,18 @@ def precalculate_window(size: int, window: str = WINDOW_DEFAULT) -> np.ndarray:
 
 
 def deemphasis_nfm_taps(sample_rate: int) -> np.ndarray:
-    """NFM de-emphasis FIR for the predefined sample rates
-    (reference predefined.h:41-68).
+    """NFM de-emphasis FIR (reference predefined.h:41-68).
 
-    The reference ships fixed arrays generated by the octave recipe in
-    predefined.h: firls bandpass 400 Hz..4 kHz with a 20 dB/decade rolloff in
-    the passband.  We regenerate equivalent taps with scipy.signal.firls using
-    the documented design; lengths match the reference (199 taps @48k/44.1k,
-    79 taps @8k/11.025k).
+    The reference ships fixed arrays generated by the octave recipe it
+    documents (predefined.h:44-55):
+        firls(tapnum, [0,200, 200,400, 400,3700, 3700,sr/2]/(sr/2),
+              [0,0, 0,1, 1,0.1, 0,0])
+        then normalize gain to 0 dB at 500 Hz by projecting onto a sine.
+    We regenerate with scipy.signal.firls from the SAME recipe (lengths match:
+    199 taps @48k/44.1k, 79 @8k/11.025k).  NOTE the reference's precomputed
+    8000 sps array is numerically broken (values ~1e13); ours is generated
+    correctly from the documented design, so at 8000 sps outputs intentionally
+    differ from the reference binary.
     """
     from scipy.signal import firls
 
@@ -172,9 +176,12 @@ def deemphasis_nfm_taps(sample_rate: int) -> np.ndarray:
     else:
         raise ValueError(f"no NFM de-emphasis taps for sample_rate={sample_rate}")
     nyq = sample_rate / 2.0
-    # 20 dB/decade rolloff across the 400..4000 Hz passband: amplitude ~ 1/f,
-    # normalized to 1.0 at 400 Hz; stopbands at DC..300 Hz and 4.4k..nyq.
-    f = [0, 300, 400, 800, 1600, 3200, 4000, min(4400.0, nyq * 0.999), nyq]
-    a = [0, 0, 1.0, 400 / 800, 400 / 1600, 400 / 3200, 400 / 4000, 0, 0]
-    taps = firls(ntaps, f, a, fs=sample_rate)
+    hi = min(3700.0, nyq * 0.95)
+    bands = [0, 200, 200, 400, 400, hi, hi, nyq]
+    desired = [0, 0, 0, 1, 1, 0.1, 0, 0]
+    taps = firls(ntaps, bands, desired, fs=sample_rate)
+    norm_freq = 500.0
+    i = np.arange(ntaps, dtype=np.float64)
+    gain = float(np.dot(taps, np.sin(2 * np.pi * norm_freq * i / sample_rate)))
+    taps = taps / gain
     return taps.astype(np.float32)

@@ -1,0 +1,233 @@
+"""fastddc — the FFT channelizer / shared-front-end DDC (SURVEY.md §2.5).
+
+Reference: fastddc.c (init math :38-72, inverse :106-166), CLI wiring
+csdr.c:2255-2378.  One forward FFT of the wideband stream serves N channels;
+each channel multiplies the spectrum by its bandpass taps while FOLDING
+fft_size bins into fft_inv_size bins (frequency-domain decimation by
+pre_decimation), inverse-FFTs, scraps the overlap (overlap-save), and fixes
+the residual shift with a fused decimating NCO.
+
+TPU design:
+- fwd: B overlapping frames -> one batched planar Stockham FFT (core/fft.py).
+- inv: all C channels at once — the per-channel spectrum rotation
+  (offsetbin) is folded into a precomputed gather permutation, the bin fold
+  is roll+reshape+sum, the IFFT is batched over (C, B) — everything is a
+  dense batched tensor op; channels shard naturally over a mesh axis
+  (BASELINE config 5).
+- init math mirrors the C bit-for-bit (float32 + C int truncation/rounding)
+  so bin quantization matches the reference exactly (SURVEY.md §7 "hard
+  parts" #3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csdr_tpu import firdes
+from csdr_tpu.core import cplx, fft as cfft
+from csdr_tpu.core.block import Block, VarOut
+from csdr_tpu.core.cplx import CF
+
+
+@dataclasses.dataclass(frozen=True)
+class FastDDC:
+    pre_decimation: int
+    post_decimation: int
+    taps_length: int
+    taps_min_length: int
+    overlap_length: int
+    fft_size: int
+    fft_inv_size: int
+    input_size: int
+    post_input_size: int
+    pre_shift: float
+    startbin: int
+    v: int
+    offsetbin: int
+    post_shift: float
+    scrap: int
+    shift_rate: float
+    transition_bw: float
+    window: str
+
+
+def fastddc_init(transition_bw: float, decimation: int, shift_rate: float = 0.0,
+                 window: str = firdes.WINDOW_DEFAULT) -> FastDDC:
+    """Size/shift planning (reference fastddc.c:38-72), exact C semantics:
+    float32 arithmetic, int truncation for startbin, C round() for the bin
+    quantization."""
+    pre, post = 1, decimation
+    while post % 2 == 0 and post // 2 != 1:
+        post //= 2
+        pre *= 2
+    taps_min_length = firdes.firdes_filter_len(transition_bw)
+    taps_length = cfft.next_pow2(-(-taps_min_length // pre) * pre) + 1
+    fft_size = cfft.next_pow2(taps_length * 4)
+    while fft_size < pre:
+        fft_size *= 2
+    overlap_length = taps_length - 1
+    input_size = fft_size - overlap_length
+    fft_inv_size = fft_size // pre
+
+    v = fft_size // overlap_length
+    middlebin = fft_size // 2
+    sr = np.float32(shift_rate)
+    startbin = int(np.float32(middlebin) + np.float32(middlebin) * (-sr) * np.float32(2))
+    startbin = v * int(np.round(np.float32(startbin) / np.float32(v)))
+    offsetbin = startbin - middlebin
+    post_shift = float(np.float32(pre) * (sr + np.float32(offsetbin) / np.float32(fft_size)))
+    pre_shift = float(np.float32(offsetbin) / np.float32(fft_size))
+    scrap = overlap_length // pre
+    post_input_size = fft_inv_size - scrap
+    assert fft_size > 2, "error in fastddc_init()"
+    return FastDDC(pre, post, taps_length, taps_min_length, overlap_length,
+                   fft_size, fft_inv_size, input_size, post_input_size,
+                   pre_shift, startbin, v, offsetbin, post_shift, scrap,
+                   float(shift_rate), float(transition_bw), window)
+
+
+def channel_taps_fft(ddc: FastDDC, shift_rate: float) -> np.ndarray:
+    """Side-swapped FFT of the channel bandpass taps (csdr.c:2345-2356):
+    complex bandpass around -shift_rate, zero-padded to fft_size, forward
+    FFT, fftshift.  Returns complex128 host array (cast at use)."""
+    half_bw = 0.5 / (ddc.pre_decimation * ddc.post_decimation)
+    taps = firdes.firdes_bandpass_c(ddc.taps_length, (-shift_rate) - half_bw,
+                                    (-shift_rate) + half_bw, ddc.window)
+    padded = np.zeros(ddc.fft_size, np.complex128)
+    padded[: ddc.taps_length] = taps
+    tf = np.fft.fft(padded)
+    return np.fft.fftshift(tf)
+
+
+def fastddc_fwd_block(ddc: FastDDC, frames_per_chunk: int = 32) -> Block:
+    """Wideband CF chunk (B*input_size,) -> spectra CF (B, fft_size).
+
+    Streaming overlap matches the reference exactly (csdr.c:2291-2295):
+    frame b = [last overlap_length samples | input_size new], no window,
+    zero history at stream start.
+    """
+    ov = ddc.overlap_length
+    ins = ddc.input_size
+
+    def init():
+        return CF.zeros((ov,))
+
+    def apply(tail, x):
+        n = x.shape[0]
+        assert n % ins == 0, f"chunk {n} % input_size {ins} != 0"
+        b = n // ins
+        xcat = cplx.concat([tail, x])            # (ov + n,)
+        idx = (np.arange(ins + ov)[None, :]
+               + (np.arange(b) * ins)[:, None])  # static (B, fft_size)
+        frames = CF(xcat.re[idx], xcat.im[idx])
+        spectra = cfft.fft(frames)
+        return xcat[n:], spectra
+
+    return Block("fastddc_fwd_cc", init, apply)
+
+
+def fastddc_inv_batch(spectra: CF, ddc: FastDDC, taps_eff: CF,
+                      fold_perm: jnp.ndarray):
+    """Channelize B spectra for C channels -> time samples (B, C, post_input).
+
+    spectra: CF (B, fft_size) RAW (not side-swapped);
+    taps_eff: CF (C, fft_size) — side-swapped taps ALREADY permuted into fold
+    slot order; fold_perm: (C, fft_size) int32 — raw-spectrum gather indices
+    in the same slot order (input side swap + offsetbin rotation baked in).
+    Mirrors fastddc.c:106-166: slot (k, j) = k*inv + j accumulates
+    S_swapped[i]*T_swapped[i] into folded bin j.
+    """
+    fft_size = ddc.fft_size
+    inv = ddc.fft_inv_size
+    pre = ddc.pre_decimation
+    s_re = spectra.re[:, fold_perm]               # (B, C, fft)
+    s_im = spectra.im[:, fold_perm]
+    t_re = taps_eff.re[None, :, :]
+    t_im = taps_eff.im[None, :, :]
+    z_re = s_re * t_re - s_im * t_im
+    z_im = s_re * t_im + s_im * t_re
+    zf_re = z_re.reshape(z_re.shape[0], z_re.shape[1], pre, inv).sum(axis=2) / pre
+    zf_im = z_im.reshape(z_im.shape[0], z_im.shape[1], pre, inv).sum(axis=2) / pre
+    folded = CF(zf_re, zf_im)                     # (B, C, inv)
+    folded = cfft.fft_swap_sides(folded)
+    td = cfft.ifft(folded, normalize=True)        # (B, C, inv)
+    return td[:, :, ddc.scrap:]                   # overlap-scrap
+
+
+def make_fold_perm(ddc: FastDDC) -> np.ndarray:
+    """Swapped-domain permutation: perm[k*inv + j] = the k-th swapped-spectrum
+    bin i whose reference fold target (fft_size + i - offsetbin + inv/2) mod
+    inv equals j (fastddc.c:126-141).  Gather both the swapped spectrum and
+    the swapped taps with this and reshape(pre, inv).sum(0) == the fold."""
+    fft_size, inv = ddc.fft_size, ddc.fft_inv_size
+    i = np.arange(fft_size)
+    out_idx = (fft_size + i - ddc.offsetbin + inv // 2) % inv
+    order = np.argsort(out_idx * np.int64(fft_size) + i, kind="stable")
+    grouped = order.reshape(inv, ddc.pre_decimation)  # rows j, cols k
+    perm = np.empty(fft_size, np.int64)
+    for j in range(inv):
+        for k in range(ddc.pre_decimation):
+            perm[k * inv + j] = grouped[j, k]
+    return perm.astype(np.int32)
+
+
+def raw_gather_perm(ddc: FastDDC) -> np.ndarray:
+    """Compose the slot permutation with the input side swap so the RAW
+    spectrum can be gathered directly: swapped[i] = raw[(i + fft/2) % fft]."""
+    p = make_fold_perm(ddc)
+    return ((p + ddc.fft_size // 2) % ddc.fft_size).astype(np.int32)
+
+
+def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> Block:
+    """Spectra CF (B, fft_size) -> per-channel baseband VarOut.
+
+    shift_rates: list of channel shifts.  NOTE all channels share the sizing
+    of ``ddc`` but each has its own offsetbin/post_shift (computed via
+    fastddc_init per rate) — exactly N reference fastddc_inv_cc processes.
+    Output: VarOut(data (C, cap), counts (C,)) where cap is the per-chunk
+    capacity of the decimated stream.
+    """
+    rates = list(map(float, shift_rates))
+    chans = [fastddc_init(ddc.transition_bw, ddc.pre_decimation * ddc.post_decimation,
+                          r, ddc.window) for r in rates]
+    for ch in chans:
+        assert ch.fft_size == ddc.fft_size and ch.fft_inv_size == ddc.fft_inv_size
+    # side-swapped taps FFT, permuted into fold-slot order (host, once)
+    taps_eff_np = np.stack([
+        channel_taps_fft(ch, r).astype(np.complex64)[make_fold_perm(ch)]
+        for ch, r in zip(chans, rates)])
+    taps_eff = CF(jnp.asarray(taps_eff_np.real), jnp.asarray(taps_eff_np.imag))
+    fold_perm = jnp.asarray(np.stack([raw_gather_perm(ch) for ch in chans]))
+    post = ddc.post_decimation
+    pis = ddc.post_input_size
+    c = len(rates)
+    # per-channel decimating-shift NCO rate (cycles per taken sample),
+    # exact reference convention: decimating_shift_addition_init(post_shift, post)
+    dsa_rates = np.array([np.float32(ch.post_shift) * post for ch in chans], np.float32)
+
+    def init():
+        return (jnp.zeros((c,), jnp.float32),      # starting_phase per channel
+                jnp.zeros((c,), jnp.int32))        # decimation_remain per channel
+
+    def apply(state, spectra: CF):
+        phases, offsets = state
+        td = fastddc_inv_batch(spectra, ddc, taps_eff, fold_perm)  # (B, C, pis)
+        b = td.shape[0]
+        flat = CF(td.re.transpose(1, 0, 2).reshape(c, b * pis),
+                  td.im.transpose(1, 0, 2).reshape(c, b * pis))
+
+        def one(xre, xim, rate, phase, offset):
+            from csdr_tpu.ops.shift import decimating_shift_cc
+            y, count, nphase, noffset = decimating_shift_cc(
+                CF(xre, xim), rate, post, phase, offset)
+            return y.re, y.im, count, nphase, noffset
+
+        yr, yi, counts, nph, noff = jax.vmap(one)(
+            flat.re, flat.im, jnp.asarray(dsa_rates), phases, offsets)
+        return (nph, noff), VarOut(CF(yr, yi), counts)
+
+    return Block("fastddc_inv_cc", init, apply)

@@ -1,0 +1,90 @@
+"""FFT-domain FIR filtering: bandpass_fir_fft_cc, overlap-add
+(reference csdr.c:1810-1886 + libcsdr.c:814-849 apply_fir_fft_cc).
+
+Sizing mirrors the reference exactly: fft_size = next_pow2(taps_length),
+doubled if the zero-pad headroom is < 200; input_size = fft_size - T + 1;
+overlap = T - 1.
+
+TPU design: B frames per chunk -> ONE batched planar FFT / IFFT; the
+overlap-add tail only ever reaches the immediately following frame
+(overlap < input_size by construction), so the add is a batched shift —
+no scan, fully parallel.  The reference's double-buffered inverse plans
+(csdr.c:1855-1879) exist only to keep the previous tail alive; here that is
+simply the carried state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from csdr_tpu import firdes
+from csdr_tpu.core import cplx, fft as cfft
+from csdr_tpu.core.block import Block
+from csdr_tpu.core.cplx import CF
+
+
+def fftfilt_plan(taps_length: int):
+    fft_size = cfft.next_pow2(taps_length)
+    if fft_size - taps_length < 200:
+        fft_size <<= 1
+    input_size = fft_size - taps_length + 1
+    overlap = taps_length - 1
+    return fft_size, input_size, overlap
+
+
+def _taps_fft(taps: np.ndarray, fft_size: int) -> np.ndarray:
+    padded = np.zeros(fft_size, np.complex128)
+    padded[: len(taps)] = taps
+    return np.fft.fft(padded).astype(np.complex64)
+
+
+def apply_fir_fft_cc_batch(x: CF, taps_fft: CF, input_size: int, carry: CF):
+    """x: (B, fft_size) frames (already zero-padded);
+    returns (y (B, input_size), new_carry (overlap,)).
+    Matches libcsdr.c:814-849 including the 1/fft_size normalization."""
+    fft_size = x.shape[-1]
+    overlap = fft_size - input_size
+    xf = cfft.fft(x)
+    yf = xf * taps_fft
+    y = cfft.ifft(yf, normalize=True)             # (B, fft_size)
+    tails = y[:, input_size:]                      # (B, overlap)
+    prev = cplx.concat([carry.reshape(1, -1), tails[:-1]], axis=0)
+    main = y[:, :input_size]
+    out_re = main.re.at[:, :overlap].add(prev.re)
+    out_im = main.im.at[:, :overlap].add(prev.im)
+    return CF(out_re, out_im), tails[-1]
+
+
+def bandpass_fir_fft_block(low_cut: float, high_cut: float, transition_bw: float,
+                           window: str = firdes.WINDOW_DEFAULT,
+                           name: str = "bandpass_fir_fft_cc") -> Block:
+    """Streaming overlap-add complex bandpass.  Chunk must be a multiple of
+    input_size; output length == input length (rate preserving)."""
+    taps_length = firdes.firdes_filter_len(transition_bw)
+    fft_size, input_size, overlap = fftfilt_plan(taps_length)
+    taps = firdes.firdes_bandpass_c(taps_length, low_cut, high_cut, window)
+    tf = _taps_fft(taps, fft_size)
+    taps_fft = CF(jnp.asarray(tf.real), jnp.asarray(tf.imag))
+
+    def init():
+        return CF.zeros((overlap,))
+
+    def apply(carry, x):
+        n = x.shape[0]
+        assert n % input_size == 0, f"chunk {n} % input_size {input_size} != 0"
+        b = n // input_size
+        frames = x.reshape(b, input_size)
+        z = jnp.zeros((b, fft_size - input_size), jnp.float32)
+        frames = CF(jnp.concatenate([frames.re, z], axis=1),
+                    jnp.concatenate([frames.im, z], axis=1))
+        y, carry = apply_fir_fft_cc_batch(frames, taps_fft, input_size, carry)
+        return carry, y.reshape(-1)
+
+    blk = Block(name, init, apply)
+    # expose sizing for chunk planning (CLI layer / models); Block is a
+    # frozen dataclass so attach via object.__setattr__
+    object.__setattr__(blk, "fft_size", fft_size)
+    object.__setattr__(blk, "input_size", input_size)
+    object.__setattr__(blk, "overlap", overlap)
+    return blk

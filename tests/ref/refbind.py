@@ -255,3 +255,98 @@ def amdemod_cf(x):
     l_.amdemod_cf.argtypes = [f32p, f32p, ctypes.c_int]
     l_.amdemod_cf(xi, out, len(x))
     return out
+
+
+# --- fastddc (reference fastddc.c + csdr.c:2255-2378 CLI wiring) -----------
+
+class _sad_t(ctypes.Structure):
+    _fields_ = [("sindelta", ctypes.c_float), ("cosdelta", ctypes.c_float),
+                ("rate", ctypes.c_float)]
+
+
+class _dsas_t(ctypes.Structure):
+    _fields_ = [("decimation_remain", ctypes.c_int),
+                ("starting_phase", ctypes.c_float),
+                ("output_size", ctypes.c_int)]
+
+
+class _fastddc_t(ctypes.Structure):
+    _fields_ = [("pre_decimation", ctypes.c_int), ("post_decimation", ctypes.c_int),
+                ("taps_length", ctypes.c_int), ("taps_min_length", ctypes.c_int),
+                ("overlap_length", ctypes.c_int), ("fft_size", ctypes.c_int),
+                ("fft_inv_size", ctypes.c_int), ("input_size", ctypes.c_int),
+                ("post_input_size", ctypes.c_int), ("pre_shift", ctypes.c_float),
+                ("startbin", ctypes.c_int), ("v", ctypes.c_int),
+                ("offsetbin", ctypes.c_int), ("post_shift", ctypes.c_float),
+                ("output_scrape", ctypes.c_int), ("scrap", ctypes.c_int),
+                ("dsadata", _sad_t)]
+
+
+def fastddc_init(transition_bw, decimation, shift_rate):
+    l_ = lib()
+    ddc = _fastddc_t()
+    l_.fastddc_init.argtypes = [ctypes.POINTER(_fastddc_t), ctypes.c_float,
+                                ctypes.c_int, ctypes.c_float]
+    l_.fastddc_init.restype = ctypes.c_int
+    err = l_.fastddc_init(ctypes.byref(ddc), transition_bw, decimation, shift_rate)
+    assert not err
+    return ddc
+
+
+def _make_plan(size, inbuf, outbuf, forward):
+    l_ = lib()
+    l_.make_fft_c2c.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int, ctypes.c_int]
+    l_.make_fft_c2c.restype = ctypes.c_void_p
+    return l_.make_fft_c2c(size, inbuf.ctypes.data, outbuf.ctypes.data,
+                           1 if forward else 0, 0)
+
+
+def fastddc_reference(x, decimation, shift_rate, transition_bw=0.05):
+    """Simulate `csdr fastddc_fwd_cc D | csdr fastddc_inv_cc r D` streaming.
+    Returns (channel_samples, ddc)."""
+    l_ = lib()
+    ddc = fastddc_init(transition_bw, decimation, shift_rate)
+    fft, ins, ov = ddc.fft_size, ddc.input_size, ddc.overlap_length
+
+    # taps fft (csdr.c:2345-2356)
+    taps = np.zeros(fft, np.complex64)
+    taps_fft = np.zeros(fft, np.complex64)
+    half_bw = 0.5 / decimation
+    tv = firdes_bandpass_c(ddc.taps_length, (-shift_rate) - half_bw,
+                           (-shift_rate) + half_bw)
+    taps[: ddc.taps_length] = tv
+    plan_taps = _make_plan(fft, taps.view(np.float32), taps_fft.view(np.float32), True)
+    l_.fft_execute.argtypes = [ctypes.c_void_p]
+    l_.fft_execute(plan_taps)
+    l_.fft_swap_sides.argtypes = [f32p, ctypes.c_int]
+    l_.fft_swap_sides(taps_fft.view(np.float32), fft)
+
+    # fwd: overlapped framing, zero history
+    fwd_in = np.zeros(fft, np.complex64)
+    fwd_out = np.zeros(fft, np.complex64)
+    plan_fwd = _make_plan(fft, fwd_in.view(np.float32), fwd_out.view(np.float32), True)
+    inv_in = np.zeros(ddc.fft_inv_size, np.complex64)
+    inv_out = np.zeros(ddc.fft_inv_size, np.complex64)
+    plan_inv = _make_plan(ddc.fft_inv_size, inv_in.view(np.float32),
+                          inv_out.view(np.float32), False)
+
+    l_.fastddc_inv_cc.argtypes = [f32p, f32p, ctypes.POINTER(_fastddc_t),
+                                  ctypes.c_void_p, f32p, _dsas_t]
+    l_.fastddc_inv_cc.restype = _dsas_t
+
+    stat = _dsas_t(0, 0.0, 0)
+    outs = []
+    spectrum = np.zeros(fft, np.complex64)
+    chan_out = np.zeros(ddc.post_input_size, np.complex64)
+    nframes = len(x) // ins
+    for fidx in range(nframes):
+        fwd_in[:ov] = fwd_in[ins: ins + ov]
+        fwd_in[ov:] = x[fidx * ins: (fidx + 1) * ins]
+        l_.fft_execute(plan_fwd)
+        spectrum[:] = fwd_out
+        stat = l_.fastddc_inv_cc(spectrum.view(np.float32), chan_out.view(np.float32),
+                                 ctypes.byref(ddc), plan_inv,
+                                 taps_fft.view(np.float32), stat)
+        outs.append(chan_out[: stat.output_size].copy())
+    return np.concatenate(outs), ddc

@@ -1,0 +1,66 @@
+"""Golden tests: fastddc channelizer vs the reference (init math exact,
+stream output within SNR bound — the grc_tests/test_fastddc.grc pattern)."""
+
+import numpy as np
+import pytest
+
+from csdr_tpu.core import cplx
+from csdr_tpu.core.block import VarOut
+from csdr_tpu.ops import fastddc
+from tests.util import refbind, assert_snr, cplx_noise, to_dev, to_host
+
+
+@pytest.mark.parametrize("d,rate", [(8, 0.1), (4, -0.2), (20, 0.05), (1, 0.0),
+                                    (50, 0.2), (64, -0.3)])
+def test_init_math_matches_reference(d, rate):
+    ours = fastddc.fastddc_init(0.05, d, rate)
+    ref = refbind.fastddc_init(0.05, d, rate)
+    for f in ("pre_decimation", "post_decimation", "taps_length", "fft_size",
+              "fft_inv_size", "input_size", "post_input_size", "startbin",
+              "v", "offsetbin", "scrap", "overlap_length"):
+        assert getattr(ours, f) == getattr(ref, f), f
+    assert abs(ours.post_shift - ref.post_shift) < 1e-6
+    assert abs(ours.pre_shift - ref.pre_shift) < 1e-6
+
+
+@pytest.mark.parametrize("d,rate", [(8, 0.1), (4, -0.2), (16, 0.05)])
+def test_fastddc_stream_matches_reference(d, rate):
+    ddc = fastddc.fastddc_init(0.05, d, rate)
+    nframes = 6
+    n = nframes * ddc.input_size
+    x = cplx_noise(n, seed=42)
+
+    ref, _ = refbind.fastddc_reference(x, d, rate)
+
+    fwd = fastddc.fastddc_fwd_block(ddc)
+    inv = fastddc.fastddc_inv_block(ddc, [rate])
+    sf = fwd.init()
+    si = inv.init()
+    sf, spectra = fwd.apply(sf, to_dev(x))
+    si, out = inv.apply(si, spectra)
+    ours = to_host(out.data)[0][: int(np.asarray(out.count)[0])]
+
+    m = min(len(ref), len(ours))
+    assert m > 0, "no output"
+    assert len(ours) == len(ref), (len(ours), len(ref))
+    assert_snr(ref[:m], ours[:m], 85, f"fastddc D={d} rate={rate}")
+
+
+def test_fastddc_multichannel_batch():
+    """Channel outputs of the batched inverse == per-channel runs."""
+    d = 8
+    rates = [0.1, -0.15, 0.3]
+    ddc = fastddc.fastddc_init(0.05, d, rates[0])
+    n = 4 * ddc.input_size
+    x = cplx_noise(n, seed=7)
+    fwd = fastddc.fastddc_fwd_block(ddc)
+    sf, spectra = fwd.apply(fwd.init(), to_dev(x))
+
+    inv_all = fastddc.fastddc_inv_block(ddc, rates)
+    _, out_all = inv_all.apply(inv_all.init(), spectra)
+    for ci, r in enumerate(rates):
+        inv_one = fastddc.fastddc_inv_block(ddc, [r])
+        _, out_one = inv_one.apply(inv_one.init(), spectra)
+        a = to_host(out_all.data)[ci][: int(np.asarray(out_all.count)[ci])]
+        b = to_host(out_one.data)[0][: int(np.asarray(out_one.count)[0])]
+        np.testing.assert_allclose(a, b, atol=1e-6)
