@@ -1,0 +1,248 @@
+"""Carrier & timing recovery loops (SURVEY.md §2.9): PLL, BPSK Costas loop,
+Gardner/early-late timing recovery.
+
+These are genuinely serial per-sample (or per-symbol) nonlinear feedback
+loops — SURVEY.md §7 kernel tier 3 — so they run as lax.scan, placed at the
+decimated symbol/audio rates where scan throughput is ample.  State carries
+are exact mirrors of the reference's POD structs, so outputs are
+sample-for-sample comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from csdr_tpu.core.block import Block, VarOut
+from csdr_tpu.core.cplx import CF
+
+TWO_PI = 2.0 * np.pi
+
+
+def _wrap_pi(p):
+    """while(p>pi) p-=2pi; while(p<-pi) p+=2pi;"""
+    return (p + np.pi) % TWO_PI - np.pi
+
+
+# --------------------------------------------------------------------------
+# PLL (reference libcsdr.c:1844-1915)
+# --------------------------------------------------------------------------
+
+def pll_loop_params(bandwidth: float, ko: float = 1.0, kd: float = 0.1,
+                    damping_factor: float = 0.707):
+    """PI controller gains (reference pll_cc_init_pi_controller,
+    libcsdr.c:1849-1858)."""
+    bw = TWO_PI * bandwidth
+    alpha = (damping_factor * 2 * bw) / (ko * kd)
+    beta = (bw * bw) / (ko * kd)
+    return alpha, beta
+
+
+def pll_cc(x: CF, alpha: float, beta: float | None = None,
+           state=(0.0, 0.0, 0.0)):
+    """PLL: atan2 phase detector, P or PI loop filter
+    (reference pll_cc, libcsdr.c:1870-1915).  beta=None -> P controller.
+    Returns (dphase_out, nco: CF, state').  NOTE the reference NCO is
+    sin+j*cos and the detector is atan2(i, q) — mirrored exactly."""
+
+    def step(carry, xi):
+        output_phase, dphase, iir = carry
+        output_phase = _wrap_pi(output_phase + dphase)
+        nco_re = jnp.sin(output_phase)
+        nco_im = jnp.cos(output_phase)
+        input_phase = jnp.arctan2(xi[0], xi[1])
+        new_dphase = _wrap_pi(input_phase - output_phase)
+        if beta is None:
+            dphase = new_dphase * alpha
+        else:
+            dphase = _wrap_pi(new_dphase * alpha + iir)
+            iir = iir + new_dphase * beta
+        return (output_phase, dphase, iir), (-dphase, nco_re, nco_im)
+
+    init = tuple(jnp.float32(v) for v in state)
+    carry, (dph, nr, ni) = jax.lax.scan(step, init, jnp.stack([x.re, x.im], axis=1))
+    return dph, CF(nr, ni), carry
+
+
+def pll_block(bandwidth: float = 0.01, pi_controller: bool = True,
+              output: str = "dphase") -> Block:
+    alpha, beta = pll_loop_params(bandwidth)
+    if not pi_controller:
+        alpha, beta = bandwidth, None   # P controller: alpha given directly
+
+    def init():
+        return (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+
+    def apply(state, x):
+        dph, nco, state = pll_cc(x, alpha, beta, state)
+        return state, dph if output == "dphase" else nco
+
+    return Block("pll_cc", init, apply)
+
+
+# --------------------------------------------------------------------------
+# BPSK Costas loop (reference libcsdr.c:2094-2142)
+# --------------------------------------------------------------------------
+
+def costas_loop_params(bandwidth: float = 2 * np.pi / 100,
+                       damping_factor: float = 0.707):
+    """alpha/beta from bandwidth+damping (reference init_bpsk_costas_loop_cc,
+    libcsdr.c:2094-2106, gnuradio-style)."""
+    bw = TWO_PI * bandwidth
+    denom = 1 + 2 * damping_factor * bw + bw * bw
+    alpha = (4 * damping_factor * bw) / denom
+    beta = (4 * bw * bw) / denom
+    dphase_max = bw
+    return alpha, beta, dphase_max
+
+
+def bpsk_costas_loop_cc(x: CF, alpha, beta, dphase_max,
+                        decision_directed: bool = False,
+                        dphase_max_reset_to_zero: bool = False,
+                        state=(0.0, 0.0, 0.0)):
+    """Costas loop (reference bpsk_costas_loop_cc, libcsdr.c:2108-2142).
+    state = (nco_phase, current_freq, dphase).  Returns
+    (y: CF, error, dphase_out, state')."""
+
+    def step(carry, xi):
+        nco_phase, freq, dphase = carry
+        nco_re = jnp.cos(nco_phase)
+        nco_im = jnp.sin(nco_phase)
+        yre = xi[0] * nco_re - xi[1] * nco_im
+        yim = xi[0] * nco_im + xi[1] * nco_re
+        if decision_directed:
+            op = jnp.arctan2(yim, yre)
+            err_in = jnp.where(jnp.abs(op) < np.pi / 2, -op,
+                               _wrap_pi(np.pi - op))
+            error = err_in
+        else:
+            error = np.pi * yre * yim
+        freq = freq + error * beta
+        dphase = error * alpha + freq
+        over = dphase > dphase_max
+        under = dphase < -dphase_max
+        if dphase_max_reset_to_zero:
+            dphase = jnp.where(over | under, 0.0, dphase)
+        else:
+            dphase = jnp.where(over, dphase_max,
+                               jnp.where(under, -dphase_max, dphase))
+        nco_phase = nco_phase + dphase
+        # while(nco_phase > 2pi) -= 2pi; while(nco_phase <= 0) += 2pi
+        nco_phase = nco_phase % TWO_PI
+        nco_phase = jnp.where(nco_phase <= 0, nco_phase + TWO_PI, nco_phase)
+        return (nco_phase, freq, dphase), (yre, yim, error, dphase)
+
+    init = tuple(jnp.float32(v) for v in state)
+    carry, (yr, yi, err, dph) = jax.lax.scan(
+        step, init, jnp.stack([x.re, x.im], axis=1))
+    return CF(yr, yi), err, dph, carry
+
+
+def costas_block(bandwidth: float = 2 * np.pi / 100, damping: float = 0.707,
+                 decision_directed: bool = False) -> Block:
+    alpha, beta, dmax = costas_loop_params(bandwidth, damping)
+
+    def init():
+        return (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+
+    def apply(state, x):
+        y, _e, _d, state = bpsk_costas_loop_cc(
+            x, alpha, beta, dmax, decision_directed, state=state)
+        return state, y
+
+    return Block("bpsk_costas_loop_cc", init, apply)
+
+
+# --------------------------------------------------------------------------
+# Gardner / early-late timing recovery (reference libcsdr.c:1960-2072)
+# --------------------------------------------------------------------------
+
+GARDNER = "GARDNER"
+EARLYLATE = "EARLYLATE"
+
+
+def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.5,
+                          max_error: float = 2.0, use_q: bool = False,
+                          output: str = "symbols") -> Block:
+    """Non-data-aided symbol synchronizer (reference timing_recovery_cc,
+    libcsdr.c:1977-2072), decimation = samples/symbol (divisible by 4).
+
+    Data-dependent stride (bitstart += decimation + correction) -> lax.scan
+    over symbol slots with a carried input buffer, VarOut outputs
+    (SURVEY.md §7 "hard parts" #1).  output: 'symbols' | 'error' | 'indexes'.
+    """
+    assert decimation % 4 == 0, "decimation must be divisible by 4"
+    nsb = decimation
+    nshb = decimation // 2
+    nsqb = decimation // 4
+    wing = int(nsb * 0.25)          # earlylate_ratio = 0.25 (init, :1971)
+    gardner = algorithm.upper() == GARDNER
+    err_sign = -1.0 if gardner else 1.0
+    margin = 4 * nsb
+
+    def init():
+        return None  # lazy: buffer sized from first chunk
+
+    def _mk(n):
+        return (CF.zeros((n + margin,)), jnp.int32(0), jnp.int32(0))
+
+    def apply(state, x):
+        n = x.shape[0]
+        if state is None:
+            state = _mk(n)
+        buf, occ, corr0 = state
+        buf = CF(jax.lax.dynamic_update_slice(buf.re, x.re, (occ,)),
+                 jax.lax.dynamic_update_slice(buf.im, x.im, (occ,)))
+        size = occ + n
+        cap = (n + margin) // nsb + 2
+
+        def step(carry, _):
+            bitstart, corr, valid_so_far = carry
+            valid = valid_so_far & (bitstart + nshb * 3 < size)
+            # correction reset (reference :2000-2004)
+            corr = jnp.where((corr <= -nsqb * 0.9) | (corr >= 0.9 * nsqb), 0, corr)
+            if gardner:
+                right = bitstart + nshb * 3
+                left = bitstart + nshb
+                mid = bitstart + nshb * 2
+                out_idx = left
+            else:
+                right = bitstart + wing * 3
+                left = bitstart + wing - corr
+                mid = bitstart + nshb
+                out_idx = mid
+            gi = jnp.clip(jnp.stack([right, left, mid, out_idx]), 0, size - 1)
+            re = buf.re[gi]
+            im = buf.im[gi]
+            error = (re[0] - re[1]) * re[2]
+            if use_q:
+                error = (error + (im[0] - im[1]) * im[2]) / 2
+            raw_error = error
+            error = jnp.clip(error, -max_error, max_error)
+            new_corr = (nshb * err_sign * error * loop_gain).astype(jnp.int32)
+            new_bitstart = bitstart + nsb + new_corr
+            out = (re[3], im[3], raw_error, out_idx)
+            bs = jnp.where(valid, new_bitstart, bitstart)
+            cr = jnp.where(valid, new_corr, corr)
+            return (bs, cr, valid), (out[0], out[1], out[2], out[3], valid)
+
+        (bitstart, corr, _), (yr, yi, errs, idxs, valids) = jax.lax.scan(
+            step, (jnp.int32(0), corr0, jnp.bool_(True)), None, length=cap)
+        count = jnp.sum(valids.astype(jnp.int32))
+        # consume bitstart samples (reference input_processed, :2068-2070)
+        new_occ = size - bitstart
+        buf2 = CF(
+            jax.lax.dynamic_slice(jnp.concatenate([buf.re, jnp.zeros_like(buf.re)]),
+                                  (bitstart,), (buf.re.shape[0],)),
+            jax.lax.dynamic_slice(jnp.concatenate([buf.im, jnp.zeros_like(buf.im)]),
+                                  (bitstart,), (buf.im.shape[0],)))
+        if output == "symbols":
+            data = CF(jnp.where(valids, yr, 0.0), jnp.where(valids, yi, 0.0))
+        elif output == "error":
+            data = jnp.where(valids, errs, 0.0)
+        else:
+            data = jnp.where(valids, idxs, 0)
+        return (buf2, new_occ, corr), VarOut(data, count)
+
+    return Block("timing_recovery_cc", init, apply)

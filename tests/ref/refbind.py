@@ -350,3 +350,150 @@ def fastddc_reference(x, decimation, shift_rate, transition_bw=0.05):
                                  taps_fft.view(np.float32), stat)
         outs.append(chan_out[: stat.output_size].copy())
     return np.concatenate(outs), ddc
+
+
+def encode_ima_adpcm(samples, prev=0, index=0):
+    l_ = lib()
+
+    class ima_t(ctypes.Structure):
+        _fields_ = [("index", ctypes.c_int), ("previousValue", ctypes.c_int)]
+
+    s = np.ascontiguousarray(samples, np.int16)
+    out = np.zeros(len(s) // 2, np.uint8)
+    l_.encode_ima_adpcm_i16_u8.argtypes = [i16p, u8p, ctypes.c_int, ima_t]
+    l_.encode_ima_adpcm_i16_u8.restype = ima_t
+    st = l_.encode_ima_adpcm_i16_u8(s, out, len(s), ima_t(index, prev))
+    return out, (st.previousValue, st.index)
+
+
+def decode_ima_adpcm(packed, prev=0, index=0):
+    l_ = lib()
+
+    class ima_t(ctypes.Structure):
+        _fields_ = [("index", ctypes.c_int), ("previousValue", ctypes.c_int)]
+
+    p = np.ascontiguousarray(packed, np.uint8)
+    out = np.zeros(len(p) * 2, np.int16)
+    l_.decode_ima_adpcm_u8_i16.argtypes = [u8p, i16p, ctypes.c_int, ima_t]
+    l_.decode_ima_adpcm_u8_i16.restype = ima_t
+    st = l_.decode_ima_adpcm_u8_i16(p, out, len(p), ima_t(index, prev))
+    return out, (st.previousValue, st.index)
+
+
+# --- digital chain ---------------------------------------------------------
+
+def psk31_varicode_encode(text):
+    l_ = lib()
+    t = np.ascontiguousarray(text, np.uint8)
+    out = np.zeros(len(t) * 16 + 64, np.uint8)
+    ip = ctypes.c_int(0)
+    osz = ctypes.c_int(0)
+    l_.psk31_varicode_encoder_u8_u8.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
+                                                ctypes.POINTER(ctypes.c_int),
+                                                ctypes.POINTER(ctypes.c_int)]
+    l_.psk31_varicode_encoder_u8_u8(t, out, len(t), len(out),
+                                    ctypes.byref(ip), ctypes.byref(osz))
+    return out[:osz.value], ip.value
+
+
+def psk31_varicode_decode(bits):
+    l_ = lib()
+    l_.psk31_varicode_decoder_push.argtypes = [ctypes.POINTER(ctypes.c_ulonglong),
+                                               ctypes.c_ubyte]
+    l_.psk31_varicode_decoder_push.restype = ctypes.c_char
+    shr = ctypes.c_ulonglong(0)
+    out = []
+    for b in np.asarray(bits, np.uint8):
+        c = l_.psk31_varicode_decoder_push(ctypes.byref(shr), int(b))
+        if c != b"\x00":
+            out.append(c[0])
+    return np.asarray(out, np.uint8)
+
+
+def differential_codec(x, encode, state=0):
+    l_ = lib()
+    xi = np.ascontiguousarray(x, np.uint8)
+    out = np.zeros_like(xi)
+    l_.differential_codec.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_ubyte]
+    l_.differential_codec.restype = ctypes.c_ubyte
+    st = l_.differential_codec(xi, out, len(xi), int(encode), state)
+    return out, st
+
+
+def psk31_interpolate_sine_cc(x, interpolation, last=0j):
+    l_ = lib()
+
+    class complexf(ctypes.Structure):
+        _fields_ = [("i", ctypes.c_float), ("q", ctypes.c_float)]
+
+    xi = as_cf(x)
+    out = np.zeros(2 * len(x) * interpolation, np.float32)
+    l_.psk31_interpolate_sine_cc.argtypes = [f32p, f32p, ctypes.c_int,
+                                             ctypes.c_int, complexf]
+    l_.psk31_interpolate_sine_cc.restype = complexf
+    l_.psk31_interpolate_sine_cc(xi, out, len(x), interpolation,
+                                 complexf(last.real, last.imag))
+    return out.view(np.complex64)
+
+
+class _costas_t(ctypes.Structure):
+    # reference libcsdr.h:364-374
+    _fields_ = [("alpha", ctypes.c_float), ("beta", ctypes.c_float),
+                ("decision_directed", ctypes.c_int),
+                ("current_freq", ctypes.c_float), ("dphase", ctypes.c_float),
+                ("nco_phase", ctypes.c_float), ("dphase_max", ctypes.c_float),
+                ("dphase_max_reset_to_zero", ctypes.c_int)]
+
+
+def bpsk_costas_loop(x, bandwidth=2*np.pi/100, damping=0.707, decision_directed=False):
+    l_ = lib()
+    s = _costas_t()
+    l_.init_bpsk_costas_loop_cc.argtypes = [ctypes.POINTER(_costas_t), ctypes.c_int,
+                                            ctypes.c_float, ctypes.c_float]
+    l_.init_bpsk_costas_loop_cc(ctypes.byref(s), int(decision_directed),
+                                damping, bandwidth)
+    xi = as_cf(x)
+    out = np.zeros_like(xi)
+    err = np.zeros(len(x), np.float32)
+    l_.bpsk_costas_loop_cc.argtypes = [f32p, f32p, ctypes.c_int, f32p, f32p,
+                                       ctypes.c_void_p, ctypes.POINTER(_costas_t)]
+    l_.bpsk_costas_loop_cc(xi, out, len(x), err, err, None, ctypes.byref(s))
+    return out.view(np.complex64), (s.alpha, s.beta, s.dphase_max)
+
+
+class _timing_t(ctypes.Structure):
+    # reference libcsdr.h:322-336
+    _fields_ = [("algorithm", ctypes.c_int), ("decimation_rate", ctypes.c_int),
+                ("output_size", ctypes.c_int), ("input_processed", ctypes.c_int),
+                ("use_q", ctypes.c_int), ("debug_phase", ctypes.c_int),
+                ("debug_every_nth", ctypes.c_int),
+                ("debug_writefiles_path", ctypes.c_char_p),
+                ("last_correction_offset", ctypes.c_int),
+                ("earlylate_ratio", ctypes.c_float),
+                ("loop_gain", ctypes.c_float), ("max_error", ctypes.c_float)]
+
+
+def timing_recovery(x, algorithm, decimation, loop_gain=0.5, max_error=2.0,
+                    use_q=False):
+    """One-shot reference timing_recovery_cc over the whole array."""
+    l_ = lib()
+    ALG = {"GARDNER": 0, "EARLYLATE": 1}  # enum order in libcsdr.h
+    st = _timing_t()
+    l_.timing_recovery_init.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_float, ctypes.c_float,
+                                        ctypes.c_int, ctypes.c_char_p]
+    l_.timing_recovery_init.restype = _timing_t
+    st = l_.timing_recovery_init(ALG[algorithm.upper()], decimation, int(use_q),
+                                 loop_gain, max_error, -1, None)
+    xi = as_cf(x)
+    out = np.zeros_like(xi)
+    errs = np.zeros(len(x), np.float32)
+    idxs = np.zeros(len(x), np.int32)
+    l_.timing_recovery_cc.argtypes = [f32p, f32p, ctypes.c_int, f32p,
+                                      np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                                      ctypes.POINTER(_timing_t)]
+    l_.timing_recovery_cc(xi, out, len(x), errs, idxs, ctypes.byref(st))
+    n = st.output_size
+    return (out.view(np.complex64)[:n], errs[:n], idxs[:n],
+            st.input_processed, st.last_correction_offset)
