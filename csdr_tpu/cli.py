@@ -1,0 +1,1259 @@
+"""csdr-compatible CLI: same command names/params, raw samples on
+stdin/stdout, so the reference's own shell pipelines / GRC tests / BER
+harness can drive this framework A/B against the C binaries
+(SURVEY.md §7 "CLI parity layer"; reference dispatcher csdr.c:419-3631).
+
+Architecture: every command maps to a Block; a generic stream pump
+accumulates stdin bytes into the block's chunk quantum, runs the jitted
+apply with the carried state pytree, and writes converted output — the
+TPU-era version of the reference's fread->kernel->fwrite loop
+(csdr.c:183-392).  Env compatibility: CSDR_FIXED_BUFSIZE sets the chunk;
+--fifo <path> retunes shift/bandpass/squelch live (csdr.c:252-323).
+
+Usage:  python -m csdr_tpu.cli <command> [params...]
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+
+import numpy as np
+
+USAGE_NOTE = """csdr_tpu — TPU-native csdr-compatible DSP tool.
+usage: python -m csdr_tpu.cli <command> [params]  (see `?<text>` to search)
+"""
+
+
+def _env_bufsize(default: int = 1 << 16) -> int:
+    v = os.environ.get("CSDR_FIXED_BUFSIZE")
+    return int(v) if v else default
+
+
+# ---------------------------------------------------------------------------
+# wire formats
+# ---------------------------------------------------------------------------
+
+class Fmt:
+    """Sample wire formats (reference naming: README.md:126-153)."""
+
+    def __init__(self, name, dtype, per_sample, to_dev, to_wire):
+        self.name = name
+        self.dtype = dtype
+        self.per_sample = per_sample  # wire items per logical sample
+        self.to_dev = to_dev
+        self.to_wire = to_wire
+
+
+def _mk_fmts():
+    import jax.numpy as jnp
+    from csdr_tpu.core import cplx
+
+    def ident(x):
+        return x
+
+    def cf_in(a):      # interleaved float pairs -> CF
+        a = a.reshape(-1, 2)
+        return cplx.CF(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]))
+
+    def cf_out(x):
+        import numpy as np
+        return np.stack([np.asarray(x.re), np.asarray(x.im)], -1).reshape(-1)
+
+    return {
+        "c": Fmt("c", np.float32, 2, cf_in, cf_out),
+        "f": Fmt("f", np.float32, 1, jnp.asarray, lambda x: np.asarray(x)),
+        "u8": Fmt("u8", np.uint8, 1, jnp.asarray, lambda x: np.asarray(x)),
+        "s8": Fmt("s8", np.int8, 1, jnp.asarray, lambda x: np.asarray(x)),
+        "s16": Fmt("s16", np.int16, 1, jnp.asarray, lambda x: np.asarray(x)),
+        "u32": Fmt("u32", np.uint32, 1, jnp.asarray, lambda x: np.asarray(x)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# FIFO control plane (reference init_fifo/read_fifo_ctl, csdr.c:252-323)
+# ---------------------------------------------------------------------------
+
+class FifoCtl:
+    def __init__(self, argv):
+        self.fd = None
+        self.buf = b""
+        if "--fifo" in argv:
+            path = argv[argv.index("--fifo") + 1]
+            self.fd = os.open(path, os.O_RDONLY | os.O_NONBLOCK)
+        elif "--fd" in argv:
+            self.fd = int(argv[argv.index("--fd") + 1])
+            os.set_blocking(self.fd, False)
+
+    def poll(self):
+        """Returns the latest complete text line, or None."""
+        if self.fd is None:
+            return None
+        try:
+            r, _, _ = select.select([self.fd], [], [], 0)
+            if r:
+                data = os.read(self.fd, 1024)
+                self.buf += data
+        except OSError:
+            return None
+        if b"\n" in self.buf:
+            *lines, rest = self.buf.split(b"\n")
+            self.buf = rest
+            return lines[-1].decode()
+        return None
+
+    def wait_first(self):
+        """Block until the first command line arrives (reference blocks at
+        startup when --fifo is given, csdr.c:1819-1821)."""
+        import time
+        while True:
+            line = self.poll()
+            if line:
+                return line
+            time.sleep(0.01)
+
+
+def strip_ctl_args(argv):
+    out = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("--fifo", "--fd"):
+            skip = True
+            continue
+        out.append(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stream pump
+# ---------------------------------------------------------------------------
+
+def pump(block, in_fmt: str, out_fmt: str, quantum: int = 1,
+         chunk: int | None = None, on_chunk=None):
+    """Generic fread->apply->fwrite loop.  quantum: chunk must be a multiple
+    (decimation factors, frame sizes...).  on_chunk(state) -> state lets the
+    caller apply FIFO retunes between chunks."""
+    import jax
+    from csdr_tpu.core.block import VarOut
+
+    fmts = _mk_fmts()
+    fi, fo = fmts[in_fmt], fmts[out_fmt]
+    n = chunk or _env_bufsize()
+    n = max(quantum, (n // quantum) * quantum)
+    state = block.init()
+    stdin = sys.stdin.buffer
+    stdout = sys.stdout.buffer
+    bytes_per = np.dtype(fi.dtype).itemsize * fi.per_sample
+    pending = b""
+    apply = jax.jit(block.apply)
+    eof = False
+    while not eof:
+        want = n * bytes_per - len(pending)
+        data = stdin.read(want)
+        if data is None:
+            data = b""
+        pending += data
+        if len(pending) < n * bytes_per:
+            # EOF: flush the tail as one final (smaller) chunk, truncated to
+            # the quantum, like the reference processes its last short fread
+            eof = True
+            nlast = (len(pending) // bytes_per // quantum) * quantum
+            if nlast == 0:
+                break
+            raw = np.frombuffer(pending[: nlast * bytes_per], fi.dtype)
+        else:
+            raw = np.frombuffer(pending[: n * bytes_per], fi.dtype)
+        pending = b""
+        x = fi.to_dev(raw.astype(np.float32) if fi.dtype == np.float32 else raw)
+        if on_chunk is not None:
+            state = on_chunk(state)
+        state, y = apply(state, x)
+        if isinstance(y, VarOut):
+            data_h = fo.to_wire(y.data)
+            cnt = int(np.asarray(y.count)) * fo.per_sample
+            out = np.ascontiguousarray(data_h[:cnt])
+        else:
+            out = np.ascontiguousarray(fo.to_wire(y))
+        stdout.write(out.astype(fo.dtype).tobytes())
+        stdout.flush()
+
+
+def _stateless_pump(fn, in_fmt, out_fmt, quantum=1, chunk=None):
+    from csdr_tpu.core.block import stateless
+    pump(stateless("cmd", fn), in_fmt, out_fmt, quantum, chunk)
+
+
+# ---------------------------------------------------------------------------
+# command implementations
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 2:
+        sys.stderr.write(USAGE_NOTE)
+        return 1
+    cmd = argv[1]
+    args = argv[2:]
+
+    if cmd.startswith("="):
+        # python calculator (reference csdr.c:3622-3628)
+        from math import pi, sin, cos, log10, sqrt  # noqa: F401
+        print(eval(cmd[1:] + "".join(argv[2:])))
+        return 0
+    if cmd.startswith("?"):
+        pat = cmd[1:]
+        for name in sorted(REGISTRY):
+            if pat in name:
+                print(name)
+        return 0
+
+    handler = REGISTRY.get(cmd)
+    if handler is None:
+        sys.stderr.write(f"csdr_tpu: unknown command {cmd}\n{USAGE_NOTE}")
+        return 1
+    import jax
+    # sitecustomize preloads jax with its own platform choice; honor the
+    # JAX_PLATFORMS env var like a fresh process would
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    return handler(args) or 0
+
+
+def _f(args, i, default=None):
+    if len(args) <= i:
+        if default is None:
+            raise SystemExit("missing required parameter")
+        return default
+    return float(args[i])
+
+
+def _i(args, i, default=None):
+    if len(args) <= i:
+        if default is None:
+            raise SystemExit("missing required parameter")
+        return default
+    return int(args[i])
+
+
+def _window(args, i):
+    from csdr_tpu import firdes
+    return args[i].upper() if len(args) > i and not args[i].startswith("--") \
+        else firdes.WINDOW_DEFAULT
+
+
+REGISTRY = {}
+
+
+def command(*names):
+    def deco(fn):
+        for n in names:
+            REGISTRY[n] = fn
+        return fn
+    return deco
+
+
+# --- converters ------------------------------------------------------------
+
+@command("convert_u8_f")
+def _c_u8f(args):
+    from csdr_tpu.ops import convert
+    _stateless_pump(convert.convert_u8_f, "u8", "f")
+
+
+@command("convert_f_u8")
+def _c_fu8(args):
+    from csdr_tpu.ops import convert
+    _stateless_pump(convert.convert_f_u8, "f", "u8")
+
+
+@command("convert_s8_f")
+def _c_s8f(args):
+    from csdr_tpu.ops import convert
+    _stateless_pump(convert.convert_s8_f, "s8", "f")
+
+
+@command("convert_f_s8")
+def _c_fs8(args):
+    from csdr_tpu.ops import convert
+    _stateless_pump(convert.convert_f_s8, "f", "s8")
+
+
+@command("convert_s16_f", "convert_i16_f")
+def _c_s16f(args):
+    from csdr_tpu.ops import convert
+    _stateless_pump(convert.convert_s16_f, "s16", "f")
+
+
+@command("convert_f_s16", "convert_f_i16")
+def _c_fs16(args):
+    from csdr_tpu.ops import convert
+    _stateless_pump(convert.convert_f_s16, "f", "s16")
+
+
+@command("convert_s24_f")
+def _c_s24f(args):
+    from csdr_tpu.ops import convert
+    be = "--bigendian" in args
+    _stateless_pump(lambda b: convert.convert_s24_f(b, be), "u8", "f", quantum=3)
+
+
+@command("convert_f_s24")
+def _c_fs24(args):
+    from csdr_tpu.ops import convert
+    be = "--bigendian" in args
+    _stateless_pump(lambda x: convert.convert_f_s24(x, be), "f", "u8")
+
+
+@command("realpart_cf")
+def _c_real(args):
+    from csdr_tpu.ops import demod
+    _stateless_pump(demod.realpart_cf, "c", "f")
+
+
+@command("mono2stereo_s16", "mono2stereo_i16")
+def _c_m2s(args):
+    from csdr_tpu.ops import convert
+    _stateless_pump(convert.mono2stereo_s16, "s16", "s16")
+
+
+@command("stereo2mono_s16", "stereo2mono_i16")
+def _c_s2m(args):
+    from csdr_tpu.ops import convert
+    _stateless_pump(convert.stereo2mono_s16, "s16", "s16", quantum=2)
+
+
+# --- simple utility commands ------------------------------------------------
+
+@command("clone", "none", "through", "dump_f", "dump_u8", "flowcontrol", "setbuf")
+def _c_passthrough(args, _cmd_holder=[None]):
+    """clone: byte passthrough; through: passthrough + rate meter on stderr;
+    dump_f/dump_u8: print values; none: consume (reference csdr.c:431-531,
+    2046-2082)."""
+    import time
+    cmd = sys.argv[1]
+    stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
+    total, t0 = 0, time.time()
+    while True:
+        data = stdin.read(65536)
+        if not data:
+            break
+        total += len(data)
+        if cmd == "none":
+            continue
+        if cmd == "dump_f":
+            vals = np.frombuffer(data[: len(data) // 4 * 4], np.float32)
+            sys.stdout.write(" ".join(f"{v:g}" for v in vals) + " ")
+            continue
+        if cmd == "dump_u8":
+            sys.stdout.write(data.hex(" ") + " ")
+            continue
+        stdout.write(data)
+        stdout.flush()
+        if cmd == "through" and time.time() - t0 > 1.0:
+            sys.stderr.write(f"through: {total / (time.time() - t0):.0f} bytes/s\n")
+            total, t0 = 0, time.time()
+
+
+@command("yes_f")
+def _c_yes(args):
+    value = _f(args, 0)
+    count = _i(args, 1, 0)  # 0 = infinite
+    buf = np.full(65536, value, np.float32).tobytes()
+    written = 0
+    while count == 0 or written < count:
+        n = 65536 if count == 0 else min(65536, count - written)
+        sys.stdout.buffer.write(buf[: n * 4])
+        written += n
+        if count == 0:
+            sys.stdout.buffer.flush()
+
+
+@command("repeat_u8")
+def _c_repeat(args):
+    pat = np.asarray([int(a) for a in args], np.uint8).tobytes()
+    while True:
+        sys.stdout.buffer.write(pat)
+
+
+@command("gain_ff")
+def _c_gain(args):
+    from csdr_tpu.ops import util_ops
+    g = _f(args, 0, 1.0)
+    _stateless_pump(lambda x: util_ops.gain_ff(x, g), "f", "f")
+
+
+@command("limit_ff")
+def _c_limit(args):
+    from csdr_tpu.ops import util_ops
+    m = _f(args, 0, 1.0)
+    _stateless_pump(lambda x: util_ops.limit_ff(x, m), "f", "f")
+
+
+@command("clipdetect_ff")
+def _c_clip(args):
+    from csdr_tpu.ops import util_ops
+
+    def fn(x):
+        import jax
+        n = int(util_ops.clipdetect_ff(x))
+        if n:
+            sys.stderr.write(f"clipdetect_ff: {n} samples clipped\n")
+        return x
+    _stateless_pump(fn, "f", "f")
+
+
+@command("detect_nan_ff")
+def _c_nan(args):
+    from csdr_tpu.ops import util_ops
+
+    def fn(x):
+        n = int(util_ops.detect_nan_ff(x))
+        if n:
+            sys.stderr.write(f"detect_nan_ff: NaN detected!\n")
+        return x
+    _stateless_pump(fn, "f", "f")
+
+
+@command("dcblock_ff")
+def _c_dcblock(args):
+    from csdr_tpu.ops import util_ops
+    pump(util_ops.dcblock_block(), "f", "f")
+
+
+@command("fastdcblock_ff")
+def _c_fastdc(args):
+    from csdr_tpu.ops import util_ops
+    pump(util_ops.fastdcblock_block(), "f", "f")
+
+
+@command("add_n_zero_samples_at_beginning_f")
+def _c_addzero(args):
+    n = _i(args, 0)
+    sys.stdout.buffer.write(b"\x00" * (4 * n))
+    while True:
+        d = sys.stdin.buffer.read(65536)
+        if not d:
+            break
+        sys.stdout.buffer.write(d)
+        sys.stdout.buffer.flush()
+
+
+@command("add_const_cc")
+def _c_addconst(args):
+    from csdr_tpu.core.cplx import CF
+    i, q = _f(args, 0, 0.0), _f(args, 1, 0.0)
+    # NOTE the reference's add_const_cc has a bug (uses i for both parts,
+    # libcsdr.c:2524-2531); we implement the obvious intent.
+    _stateless_pump(lambda x: CF(x.re + i, x.im + q), "c", "c")
+
+
+# --- shift family ------------------------------------------------------------
+
+@command("shift_math_cc", "shift_addition_cc", "shift_table_cc",
+         "shift_addfast_cc", "shift_unroll_cc")
+def _c_shift(args):
+    from csdr_tpu.ops import shift
+    ctl = FifoCtl(args)
+    a = strip_ctl_args(args)
+    rate = float(a[0]) if a else float(ctl.wait_first())
+    import jax.numpy as jnp
+
+    # the rate lives IN the state pytree (traced), so a FIFO retune replaces
+    # it without recompiling — the TPU-native form of the reference's
+    # re-entered shift loop (csdr.c:749-848)
+    def init():
+        return (jnp.float32(0.0), jnp.float32(rate))
+
+    def apply(state, x):
+        phase, r = state
+        y, nphase = shift.shift_cc(x, r, phase)
+        return (nphase, r), y
+
+    def on_chunk(state):
+        line = ctl.poll()
+        if line:
+            try:
+                new_rate = float(line)
+                sys.stderr.write(f"shift: retuned to {new_rate}\n")
+                return (state[0], jnp.float32(new_rate))
+            except ValueError:
+                pass
+        return state
+
+    from csdr_tpu.core.block import Block
+    pump(Block("shift", init, apply), "c", "c", on_chunk=on_chunk)
+
+
+@command("decimating_shift_addition_cc")
+def _c_decshift(args):
+    from csdr_tpu.core.block import Block, VarOut
+    from csdr_tpu.ops import shift
+    import jax.numpy as jnp
+    rate = _f(args, 0)
+    d = _i(args, 1, 1)
+
+    def init():
+        return (jnp.float32(0.0), jnp.int32(0))
+
+    def apply(state, x):
+        phase, off = state
+        y, count, nphase, noff = shift.decimating_shift_cc(
+            x, rate * d, d, phase, off)
+        return (nphase, noff), VarOut(y, count)
+
+    pump(Block("decshift", init, apply), "c", "c", quantum=d)
+
+
+# --- FIR / resampling --------------------------------------------------------
+
+@command("fir_decimate_cc")
+def _c_firdec(args):
+    from csdr_tpu import firdes
+    from csdr_tpu.ops import fir
+    d = _i(args, 0)
+    bw = _f(args, 1, 0.05)
+    win = _window(args, 2)
+    taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw), 0.5 / d, win)
+    pump(fir.fir_decimate_block(taps, d), "c", "c", quantum=d)
+
+
+@command("fir_interpolate_cc")
+def _c_firint(args):
+    from csdr_tpu import firdes
+    from csdr_tpu.ops import fir
+    i_ = _i(args, 0)
+    bw = _f(args, 1, 0.05)
+    win = _window(args, 2)
+    taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw), 0.5 / i_, win)
+    pump(fir.fir_interpolate_block(taps, i_), "c", "c")
+
+
+@command("rational_resampler_ff")
+def _c_ratres(args):
+    from csdr_tpu import firdes
+    from csdr_tpu.ops import fir
+    i_ = _i(args, 0)
+    d = _i(args, 1)
+    bw = _f(args, 2, 0.05)
+    win = _window(args, 3)
+    taps = firdes.rational_resampler_get_lowpass_f(
+        firdes.firdes_filter_len(bw), i_, d, win)
+    pump(fir.rational_resampler_block(taps, i_, d), "f", "f", quantum=d)
+
+
+@command("fractional_decimator_ff")
+def _c_fracdec(args):
+    from csdr_tpu import firdes
+    from csdr_tpu.ops import resamp
+    rate = _f(args, 0)
+    npoly = _i(args, 1, 12)
+    taps = None
+    if len(args) > 2 and not args[2].startswith("--"):
+        bw = float(args[2])
+        win = _window(args, 3)
+        taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw),
+                                       0.5 / rate, win)
+    pump(resamp.fractional_decimator_block(rate, npoly, taps), "f", "f")
+
+
+@command("bandpass_fir_fft_cc")
+def _c_bandpass(args):
+    from csdr_tpu.ops import fftfilt
+    ctl = FifoCtl(args)
+    a = strip_ctl_args(args)
+    if ctl.fd is not None:
+        low, high = map(float, ctl.wait_first().split())
+        bw = float(a[0])
+        win = _window(a, 1)
+    else:
+        low, high, bw = float(a[0]), float(a[1]), float(a[2])
+        win = _window(a, 3)
+    box = {"blk": fftfilt.bandpass_fir_fft_block(low, high, bw, win)}
+
+    def on_chunk(state):
+        line = ctl.poll()
+        if line:
+            try:
+                lo, hi = map(float, line.split())
+                box["blk"] = fftfilt.bandpass_fir_fft_block(lo, hi, bw, win)
+                sys.stderr.write(f"bandpass: retuned to [{lo}, {hi}]\n")
+            except ValueError:
+                pass
+        return state
+
+    from csdr_tpu.core.block import Block
+
+    def apply(state, x):
+        return box["blk"].apply(state, x)
+
+    pump(Block("bandpass", box["blk"].init, apply), "c", "c",
+         quantum=box["blk"].input_size, on_chunk=on_chunk)
+
+
+@command("peaks_fir_cc")
+def _c_peaks(args):
+    from csdr_tpu.ops import fir
+    length = int(args[-1])
+    rates = [float(a) for a in args[:-1]]
+    pump(fir.peaks_fir_cc_block(rates, length), "c", "c")
+
+
+@command("pulse_shaping_filter_cc")
+def _c_pulse(args):
+    from csdr_tpu.ops import fir
+    kind = args[0].upper()
+    sps = _i(args, 1)
+    ntaps = _i(args, 2, 0) if kind == "RRC" else None
+    beta = _f(args, 3, 0.25) if kind == "RRC" else 0.0
+    pump(fir.pulse_shaping_filter_cc_block(kind, sps, ntaps, beta), "c", "c")
+
+
+@command("firdes_lowpass_f")
+def _c_firdes_lp(args):
+    from csdr_tpu import firdes
+    cutoff = _f(args, 0)
+    length = _i(args, 1)
+    win = _window(args, 2)
+    taps = firdes.firdes_lowpass_f(length, cutoff, win)
+    print(",".join(f"{t:g}" for t in taps))
+
+
+@command("firdes_bandpass_c")
+def _c_firdes_bp(args):
+    from csdr_tpu import firdes
+    low, high = _f(args, 0), _f(args, 1)
+    length = _i(args, 2)
+    win = _window(args, 3)
+    taps = firdes.firdes_bandpass_c(length, low, high, win)
+    print(",".join(f"({t.real:g}{t.imag:+g}j)" for t in taps))
+
+
+@command("firdes_pulse_shaping_filter_f")
+def _c_firdes_ps(args):
+    from csdr_tpu import firdes
+    kind = args[0].upper()
+    if kind == "RRC":
+        taps = firdes.firdes_rrc_f(_i(args, 2), _i(args, 1), _f(args, 3, 0.25))
+    else:
+        sps = _i(args, 1)
+        taps = firdes.firdes_cosine_f(2 * sps + 1, sps)
+    print(",".join(f"{t:g}" for t in taps))
+
+
+# --- demod / mod --------------------------------------------------------------
+
+@command("fmdemod_quadri_cf", "fmdemod_quadri_novect_cf")
+def _c_fmq(args):
+    from csdr_tpu.ops import demod
+    pump(demod.fmdemod_quadri_block(), "c", "f")
+
+
+@command("fmdemod_atan_cf")
+def _c_fma(args):
+    from csdr_tpu.ops import demod
+    pump(demod.fmdemod_atan_block(), "c", "f")
+
+
+@command("amdemod_cf")
+def _c_am(args):
+    from csdr_tpu.ops import demod
+    _stateless_pump(demod.amdemod_cf, "c", "f")
+
+
+@command("amdemod_estimator_cf")
+def _c_ame(args):
+    from csdr_tpu.ops import demod
+    _stateless_pump(demod.amdemod_estimator_cf, "c", "f")
+
+
+@command("deemphasis_wfm_ff")
+def _c_dewfm(args):
+    from csdr_tpu.ops import demod
+    rate = _i(args, 0)
+    tau = _f(args, 1)
+    pump(demod.deemphasis_wfm_block(tau, rate), "f", "f")
+
+
+@command("deemphasis_nfm_ff")
+def _c_denfm(args):
+    from csdr_tpu.ops import demod
+    rate = _i(args, 0)
+    pump(demod.deemphasis_nfm_block(rate), "f", "f")
+
+
+@command("fmmod_fc")
+def _c_fmmod(args):
+    from csdr_tpu.ops import mod
+    pump(mod.fmmod_block(), "f", "c")
+
+
+@command("dsb_fc")
+def _c_dsb(args):
+    from csdr_tpu.ops import mod
+    q = _f(args, 0, 0.0)
+    _stateless_pump(lambda x: mod.dsb_fc(x, q), "f", "c")
+
+
+@command("add_dcoffset_cc")
+def _c_adddc(args):
+    from csdr_tpu.ops import util_ops
+    _stateless_pump(util_ops.add_dcoffset_cc, "c", "c")
+
+
+@command("fixed_amplitude_cc")
+def _c_fixamp(args):
+    from csdr_tpu.ops import util_ops
+    amp = _f(args, 0)
+    _stateless_pump(lambda x: util_ops.fixed_amplitude_cc(x, amp), "c", "c")
+
+
+@command("convert_f_samplerf")
+def _c_samplerf(args):
+    from csdr_tpu.ops import mod
+    wait = _i(args, 0)
+    stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
+    while True:
+        d = stdin.read(4 * 65536)
+        if not d:
+            break
+        x = np.frombuffer(d[: len(d) // 4 * 4], np.float32)
+        stdout.write(mod.convert_f_samplerf(x, wait).tobytes())
+        stdout.flush()
+
+
+# --- gain control / squelch ---------------------------------------------------
+
+@command("agc_ff")
+def _c_agc(args):
+    from csdr_tpu.ops import agc
+    kw = {}
+    flags = {"--reference": "reference", "--attack": "attack_rate",
+             "--decay": "decay_rate", "--max": "max_gain",
+             "--hangtime": "hang_time", "--attackwait": "attack_wait_time",
+             "--filteralpha": "gain_filter_alpha"}
+    i = 0
+    while i < len(args):
+        if args[i] in flags:
+            v = float(args[i + 1])
+            kw[flags[args[i]]] = int(v) if "time" in flags[args[i]] else v
+            i += 2
+        else:
+            i += 1
+    pump(agc.agc_block(**kw), "f", "f")
+
+
+@command("fastagc_ff")
+def _c_fastagc(args):
+    from csdr_tpu.ops import agc
+    block = _i(args, 0, 1024)
+    ref = _f(args, 1, 1.0)
+    pump(agc.fastagc_block(reference=ref, block_size=block), "f", "f",
+         quantum=block, chunk=block)
+
+
+@command("simple_agc_cc")
+def _c_sagc(args):
+    from csdr_tpu.ops import agc
+    rate = _f(args, 0)
+    ref = _f(args, 1, 1.0)
+    pump(agc.simple_agc_block(rate, ref), "c", "c")
+
+
+@command("squelch_and_smeter_cc")
+def _c_squelch(args):
+    import jax.numpy as jnp
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import util_ops
+    ctl = FifoCtl(args)
+    outfifo = None
+    if "--outfifo" in args:
+        outfifo = os.open(args[args.index("--outfifo") + 1],
+                          os.O_WRONLY | os.O_NONBLOCK)
+    a = [x for x in strip_ctl_args(args) if not x.startswith("--")]
+    use_every_nth = int(a[0]) if len(a) > 0 else 1
+    report_every_nth = int(a[1]) if len(a) > 1 else 1
+    box = {"n": 0}
+
+    def init():
+        # (squelch level, last block power) — level is traced state so FIFO
+        # retunes don't recompile; power is read host-side for the S-meter
+        return (jnp.float32(0.0), jnp.float32(0.0))
+
+    def apply(state, x):
+        level, _ = state
+        y, power = util_ops.squelch_and_smeter_cc(x, level, use_every_nth)
+        return (level, power), y
+
+    def on_chunk(state):
+        level, power = state
+        box["n"] += 1
+        if outfifo is not None and box["n"] % report_every_nth == 0:
+            try:
+                os.write(outfifo, f"{float(power):g}\n".encode())
+            except OSError:
+                pass
+        line = ctl.poll()
+        if line:
+            try:
+                return (jnp.float32(float(line)), power)
+            except ValueError:
+                pass
+        return state
+
+    pump(Block("squelch", init, apply), "c", "c", on_chunk=on_chunk)
+
+
+# --- spectrum ------------------------------------------------------------------
+
+@command("fft_cc")
+def _c_fft(args):
+    from csdr_tpu.ops import spectrum
+    n = _i(args, 0)
+    every = _i(args, 1)
+    win = _window(args, 2)
+    pump(spectrum.fft_cc_block(n, every, win), "c", "c", quantum=every)
+
+
+@command("fft_fc")
+def _c_fftfc(args):
+    from csdr_tpu.ops import spectrum
+    n = _i(args, 0)
+    every = _i(args, 1)
+    win = _window(args, 2)
+    pump(spectrum.fft_fc_block(n, every, win), "f", "c", quantum=every)
+
+
+@command("logpower_cf")
+def _c_logpow(args):
+    from csdr_tpu.ops import spectrum
+    add_db = _f(args, 0, 0.0)
+    _stateless_pump(lambda x: spectrum.logpower_cf(x, add_db), "c", "f")
+
+
+@command("logaveragepower_cf")
+def _c_logavg(args):
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import spectrum
+    add_db = _f(args, 0)
+    n = _i(args, 1)
+    avg = _i(args, 2)
+
+    def init():
+        return None
+
+    def apply(state, x):
+        sp = x.reshape(-1, n)
+        return state, spectrum.logaveragepower_cf(sp, add_db, avg).reshape(-1)
+
+    pump(Block("logavg", init, apply), "c", "f", quantum=n * avg)
+
+
+@command("fft_exchange_sides_ff")
+def _c_fftswap(args):
+    from csdr_tpu.ops import spectrum
+    n = _i(args, 0)
+    _stateless_pump(lambda x: spectrum.fft_exchange_sides_ff(
+        x.reshape(-1, n)).reshape(-1), "f", "f", quantum=n)
+
+
+@command("fft_one_side_ff")
+def _c_fftone(args):
+    from csdr_tpu.ops import spectrum
+    n = _i(args, 0)
+    _stateless_pump(lambda x: spectrum.fft_one_side_ff(
+        x.reshape(-1, n)).reshape(-1), "f", "f", quantum=n)
+
+
+@command("compress_fft_adpcm_f_u8")
+def _c_compressfft(args):
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import spectrum
+    n = _i(args, 0)
+
+    def init():
+        return None
+
+    def apply(state, x):
+        rows = x.reshape(-1, n)
+        return state, spectrum.compress_fft_adpcm_rows(rows, n).reshape(-1)
+
+    pump(Block("compressfft", init, apply), "f", "u8", quantum=n)
+
+
+@command("encode_ima_adpcm_i16_u8", "encode_ima_adpcm_s16_u8")
+def _c_adpcm_enc(args):
+    from csdr_tpu.ops import adpcm
+    pump(adpcm.encode_block(), "s16", "u8", quantum=2)
+
+
+@command("decode_ima_adpcm_u8_i16", "decode_ima_adpcm_u8_s16")
+def _c_adpcm_dec(args):
+    from csdr_tpu.ops import adpcm
+    pump(adpcm.decode_block(), "u8", "s16")
+
+
+@command("fft_benchmark")
+def _c_fftbench(args):
+    import time
+    import jax
+    from csdr_tpu.core import cplx, fft as cfft
+    n = _i(args, 0)
+    cycles = _i(args, 1)
+    rng = np.random.default_rng(0)
+    x = cplx.from_numpy((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                        .astype(np.complex64))
+    f = jax.jit(cfft.fft)
+    t0 = time.time()
+    y = f(x)
+    jax.block_until_ready(y.re)
+    sys.stderr.write(f"fft_benchmark: first (compile) in {time.time()-t0:g} s\n")
+    t0 = time.time()
+    for _ in range(cycles):
+        y = f(x)
+    jax.block_until_ready(y.re)
+    dt = (time.time() - t0) / cycles
+    sys.stderr.write(f"fft_benchmark: {cycles} transforms of {n}, "
+                     f"{dt:g} seconds each.\n")
+
+
+# --- fastddc --------------------------------------------------------------------
+
+@command("fastddc_fwd_cc")
+def _c_ddcfwd(args):
+    from csdr_tpu.ops import fastddc
+    d = _i(args, 0)
+    bw = _f(args, 1, 0.05)
+    win = _window(args, 2)
+    ddc = fastddc.fastddc_init(bw, d, 0.0, win)
+    sys.stderr.write(f"fastddc_fwd_cc: fft_size={ddc.fft_size} "
+                     f"input_size={ddc.input_size}\n")
+    blk = fastddc.fastddc_fwd_block(ddc)
+    from csdr_tpu.core.block import Block
+
+    def apply(state, x):
+        state, spectra = blk.apply(state, x)
+        return state, spectra.reshape(-1)
+
+    pump(Block("ddcfwd", blk.init, apply), "c", "c", quantum=ddc.input_size)
+
+
+@command("fastddc_inv_cc")
+def _c_ddcinv(args):
+    from csdr_tpu.core.block import Block, VarOut
+    from csdr_tpu.ops import fastddc
+    ctl = FifoCtl(args)
+    a = strip_ctl_args(args)
+    if ctl.fd is not None:
+        rate = float(ctl.wait_first())
+        d = int(a[0])
+        bw = float(a[1]) if len(a) > 1 else 0.05
+        win = _window(a, 2)
+    else:
+        rate = float(a[0])
+        d = int(a[1])
+        bw = float(a[2]) if len(a) > 2 else 0.05
+        win = _window(a, 3)
+    ddc = fastddc.fastddc_init(bw, d, rate, win)
+    blk = fastddc.fastddc_inv_block(ddc, [rate])
+
+    def apply(state, x):
+        spectra = x.reshape(-1, ddc.fft_size)
+        state, out = blk.apply(state, spectra)
+        return state, VarOut(out.data[0], out.count[0])
+
+    pump(Block("ddcinv", blk.init, apply), "c", "c", quantum=ddc.fft_size)
+
+
+# --- digital / modem -------------------------------------------------------------
+
+@command("psk31_varicode_encoder_u8_u8")
+def _c_vc_enc(args):
+    from csdr_tpu.ops import digital
+    while True:
+        d = sys.stdin.buffer.read(4096)
+        if not d:
+            break
+        bits = digital.psk31_varicode_encoder_u8_u8(np.frombuffer(d, np.uint8))
+        sys.stdout.buffer.write(bits.tobytes())
+        sys.stdout.buffer.flush()
+
+
+@command("psk31_varicode_decoder_u8_u8")
+def _c_vc_dec(args):
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import digital
+    import jax.numpy as jnp
+
+    def init():
+        return jnp.zeros((13,), jnp.int32)  # max window - 1 history bits
+
+    def apply(tail, x):
+        xcat = jnp.concatenate([tail, jnp.asarray(x, jnp.int32)])
+        out = digital.psk31_varicode_decoder_u8_u8(xcat)
+        # drop matches that ended within the tail region (already emitted)
+        return xcat[-13:], out
+
+    pump(Block("vcdec", init, apply), "u8", "u8")
+
+
+@command("differential_encoder_u8_u8")
+def _c_diffenc(args):
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import digital
+    import jax.numpy as jnp
+
+    def init():
+        return jnp.int32(0)
+
+    def apply(st, x):
+        y, st = digital.differential_codec_encode(x, st)
+        return st, y
+
+    pump(Block("diffenc", init, apply), "u8", "u8")
+
+
+@command("differential_decoder_u8_u8")
+def _c_diffdec(args):
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import digital
+    import jax.numpy as jnp
+
+    def init():
+        return jnp.int32(0)
+
+    def apply(st, x):
+        y, st = digital.differential_codec_decode(x, st)
+        return st, y
+
+    pump(Block("diffdec", init, apply), "u8", "u8")
+
+
+@command("psk_modulator_u8_c")
+def _c_pskmod(args):
+    from csdr_tpu.ops import digital
+    n = _i(args, 0, 2)
+    _stateless_pump(lambda x: digital.psk_modulator_u8_c(x, n), "u8", "c")
+
+
+@command("psk31_interpolate_sine_cc")
+def _c_psk31int(args):
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import digital
+    interp = _i(args, 0)
+
+    def init():
+        return CF.scalar(0.0)
+
+    def apply(last, x):
+        y, last = digital.psk31_interpolate_sine_cc(x, interp, last)
+        return last, y
+
+    pump(Block("psk31int", init, apply), "c", "c")
+
+
+@command("duplicate_samples_ntimes_u8_u8")
+def _c_dup(args):
+    from csdr_tpu.ops import digital
+    sz = _i(args, 0)
+    nt = _i(args, 1)
+    _stateless_pump(lambda x: digital.duplicate_samples_ntimes_u8_u8(x, sz, nt),
+                    "u8", "u8", quantum=sz)
+
+
+@command("pack_bits_1to8_u8_u8")
+def _c_pack18(args):
+    from csdr_tpu.ops import digital
+    _stateless_pump(digital.pack_bits_1to8_u8_u8, "u8", "u8")
+
+
+@command("pack_bits_8to1_u8_u8")
+def _c_pack81(args):
+    from csdr_tpu.ops import digital
+    _stateless_pump(digital.pack_bits_8to1_u8_u8, "u8", "u8", quantum=8)
+
+
+@command("invert_u8_u8")
+def _c_invert(args):
+    from csdr_tpu.ops import digital
+    _stateless_pump(digital.invert_u8_u8, "u8", "u8")
+
+
+@command("binary_slicer_f_u8")
+def _c_binslice(args):
+    from csdr_tpu.ops import digital
+    _stateless_pump(digital.binary_slicer_f_u8, "f", "u8")
+
+
+@command("generic_slicer_f_u8")
+def _c_genslice(args):
+    from csdr_tpu.ops import digital
+    n = _i(args, 0)
+    _stateless_pump(lambda x: digital.generic_slicer_f_u8(x, n), "f", "u8")
+
+
+@command("dbpsk_decoder_c_u8")
+def _c_dbpsk(args):
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import digital
+
+    def init():
+        return CF.scalar(0.0)
+
+    def apply(last, x):
+        y, last = digital.dbpsk_decoder_c_u8(x, last)
+        return last, y
+
+    pump(Block("dbpsk", init, apply), "c", "u8")
+
+
+@command("bfsk_demod_cf")
+def _c_bfsk(args):
+    from csdr_tpu import firdes
+    from csdr_tpu.core import cplx
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import digital
+    spacing = _f(args, 0)
+    flen = _i(args, 1)
+    mark = cplx.from_numpy(firdes.firdes_add_peak_c(flen, [spacing / 2]))
+    space = cplx.from_numpy(firdes.firdes_add_peak_c(flen, [-spacing / 2]))
+    from csdr_tpu.core.cplx import CF
+
+    def init():
+        return CF.zeros((flen - 1,))
+
+    def apply(tail, x):
+        xcat = cplx.concat([tail, x])
+        y = digital.bfsk_demod_cf(xcat, mark, space)[: x.shape[0]]
+        return xcat[x.shape[0]:], y
+
+    pump(Block("bfsk", init, apply), "c", "f")
+
+
+@command("timing_recovery_cc")
+def _c_timing(args):
+    from csdr_tpu.ops import sync
+    alg = args[0].upper()
+    decim = int(args[1])
+    gain = _f(args, 2, 0.5)
+    max_err = _f(args, 3, 2.0)
+    use_q = "--add_q" in args
+    output = "symbols"
+    if "--output_error" in args:
+        output = "error"
+    if "--output_indexes" in args:
+        output = "indexes"
+    blk = sync.timing_recovery_block(alg, decim, gain, max_err, use_q, output)
+    ofmt = "c" if output == "symbols" else ("f" if output == "error" else "u32")
+    pump(blk, "c", ofmt, quantum=decim)
+
+
+@command("bpsk_costas_loop_cc")
+def _c_costas(args):
+    from csdr_tpu.ops import sync
+    bw = _f(args, 0, 2 * np.pi / 100)
+    damping = _f(args, 1, 0.707)
+    dd = "--dd" in args
+    pump(sync.costas_block(bw, damping, dd), "c", "c")
+
+
+@command("pll_cc")
+def _c_pll(args):
+    from csdr_tpu.ops import sync
+    which = _i(args, 0, 2)
+    if which == 1:
+        alpha = _f(args, 1, 0.01)
+        pump(sync.pll_block(alpha, pi_controller=False), "c", "f")
+    else:
+        bw = _f(args, 1, 0.01)
+        pump(sync.pll_block(bw, pi_controller=True), "c", "f")
+
+
+@command("normalized_timing_variance_u32_f")
+def _c_ntv(args):
+    from csdr_tpu.ops import digital
+    sps = _i(args, 0)
+    offset = _i(args, 1)
+    data = sys.stdin.buffer.read()
+    idxs = np.frombuffer(data[: len(data) // 4 * 4], np.uint32)
+    v = float(digital.normalized_timing_variance_u32_f(idxs, sps, offset))
+    sys.stdout.buffer.write(np.float32(v).tobytes())
+
+
+@command("serial_line_decoder_f_u8")
+def _c_serial(args):
+    from csdr_tpu.ops import digital
+    sps = _f(args, 0)
+    databits = _i(args, 1, 8)
+    stopbits = _f(args, 2, 1.0)
+    buf = np.zeros(0, np.float32)
+    while True:
+        d = sys.stdin.buffer.read(65536 * 4)
+        if not d:
+            break
+        buf = np.concatenate([buf, np.frombuffer(d[: len(d) // 4 * 4], np.float32)])
+        out, used = digital.serial_line_decoder_f_u8(buf, sps, databits, stopbits)
+        sys.stdout.buffer.write(out.astype(np.uint8).tobytes())
+        sys.stdout.buffer.flush()
+        buf = buf[used:]
+
+
+@command("pattern_search_u8_u8")
+def _c_patsearch(args):
+    from csdr_tpu.ops import digital
+    values_after = _i(args, 0)
+    pattern = np.asarray([int(a) for a in args[1:]], np.uint8)
+    data = sys.stdin.buffer.read()
+    hits = digital.pattern_search_u8_u8(np.frombuffer(data, np.uint8),
+                                        pattern, values_after)
+    sys.stdout.buffer.write(hits.tobytes())
+
+
+# --- noise -----------------------------------------------------------------------
+
+@command("awgn_cc")
+def _c_awgn(args):
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import noise
+    snr = _f(args, 0)
+    seed_box = {"n": 0}
+
+    def init():
+        return None
+
+    def apply(state, x):
+        y = noise.awgn_cc(x, snr, seed=seed_box["n"])
+        seed_box["n"] += 1
+        return state, y
+
+    pump(Block("awgn", init, apply), "c", "c")
+
+
+@command("uniform_noise_f")
+def _c_unoise(args):
+    from csdr_tpu.ops import noise
+    n = 0
+    while True:
+        x = np.asarray(noise.uniform_noise_f(65536, seed=n))
+        sys.stdout.buffer.write(x.tobytes())
+        n += 1
+
+
+@command("gaussian_noise_c")
+def _c_gnoise(args):
+    from csdr_tpu.ops import noise
+    from csdr_tpu.core import cplx
+    n = 0
+    while True:
+        x = noise.gaussian_noise_c(65536, seed=n)
+        sys.stdout.buffer.write(cplx.to_numpy(x).astype(np.complex64).tobytes())
+        n += 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

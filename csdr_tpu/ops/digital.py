@@ -349,3 +349,22 @@ def serial_line_decoder_f_u8(x: np.ndarray, samples_per_bits: float,
         if base >= n:
             break
     return np.asarray(out, np.uint32), used
+
+
+def pattern_search_u8_u8(x: np.ndarray, pattern: np.ndarray, values_after: int):
+    """Find every occurrence of ``pattern`` in the byte stream and emit the
+    ``values_after`` bytes that follow each match (reference csdr.c:3532-3597;
+    used to deframe sync-word protocols).  Host-side (byte sink)."""
+    x = np.asarray(x, np.uint8)
+    p = np.asarray(pattern, np.uint8)
+    lp = len(p)
+    if len(x) < lp:
+        return np.zeros((0, values_after), np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(x, lp)
+    hits = np.nonzero((windows == p).all(axis=1))[0]
+    out = []
+    for h in hits:
+        seg = x[h + lp: h + lp + values_after]
+        if len(seg) == values_after:
+            out.append(seg)
+    return (np.stack(out) if out else np.zeros((0, values_after), np.uint8))

@@ -307,3 +307,60 @@ def rational_resampler_block(taps, interpolation: int, decimation: int,
         return xcat[n:], y
 
     return Block(name=name, init=init, apply=apply, warmup_out=shift_out)
+
+
+# ---------------------------------------------------------------------------
+# complex-tap FIR applications: peak filters & pulse shaping
+# ---------------------------------------------------------------------------
+
+def apply_fir_cc_block(taps, name: str = "apply_fir_cc",
+                       precision=DEFAULT_PRECISION) -> Block:
+    """Streaming valid-mode complex-tap FIR (CF taps), tail-carried.
+    Used by peaks_fir_cc (reference csdr.c:2975-3016) and bfsk front ends."""
+    taps_cf = taps if isinstance(taps, CF) else CF(
+        jnp.asarray(np.real(taps), jnp.float32),
+        jnp.asarray(np.imag(taps), jnp.float32))
+    t = taps_cf.shape[0]
+
+    def init():
+        return CF.zeros((t - 1,))
+
+    def apply(tail, x):
+        xcat = cplx.concat([tail, x])
+        y = apply_fir_cc(xcat, taps_cf, precision)[: x.shape[0]]
+        return xcat[x.shape[0]:], y
+
+    return Block(name, init, apply, warmup_out=t - 1)
+
+
+def peaks_fir_cc_block(peak_rates, length: int,
+                       precision=DEFAULT_PRECISION) -> Block:
+    """Multi-peak filter for FSK tones (reference peaks_fir_cc CLI,
+    csdr.c:2975-3016 + firdes_add_peak_c libcsdr.c:2232-2272)."""
+    from csdr_tpu import firdes
+    taps = firdes.firdes_add_peak_c(length, peak_rates)
+    return apply_fir_cc_block(taps, name="peaks_fir_cc", precision=precision)
+
+
+def pulse_shaping_filter_cc_block(matched_filter: str, samples_per_symbol: int,
+                                  num_taps: int | None = None, beta: float = 0.25,
+                                  precision=DEFAULT_PRECISION) -> Block:
+    """RRC / COSINE matched filter on complex symbols
+    (reference csdr.c:3206-3218 + firdes_rrc_f/firdes_cosine_f)."""
+    from csdr_tpu import firdes
+    if matched_filter.upper() == "RRC":
+        taps = firdes.firdes_rrc_f(num_taps, samples_per_symbol, beta)
+    else:
+        taps = firdes.firdes_cosine_f(2 * samples_per_symbol + 1, samples_per_symbol)
+    taps_j = jnp.asarray(taps)
+    t = len(taps)
+
+    def init():
+        return CF.zeros((t - 1,))
+
+    def apply(tail, x):
+        xcat = cplx.concat([tail, x])
+        y = apply_real_fir_cc(xcat, taps_j, precision)[: x.shape[0]]
+        return xcat[x.shape[0]:], y
+
+    return Block("pulse_shaping_filter_cc", init, apply, warmup_out=t - 1)
