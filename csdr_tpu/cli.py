@@ -328,13 +328,42 @@ def _c_s2m(args):
 
 # --- simple utility commands ------------------------------------------------
 
-@command("clone", "none", "through", "dump_f", "dump_u8", "flowcontrol", "setbuf")
+@command("none")
+def _c_none(args):
+    """Does nothing, exits immediately (reference csdr.c:3599-3602)."""
+    return 0
+
+
+@command("flowcontrol")
+def _c_flowcontrol(args):
+    """Rate limiter: forwards <data_rate> bytes/s in <reads_per_second>
+    equal reads with a sleep between them (reference csdr.c:1922-1943)."""
+    import time
+    data_rate = _i(args, 0)
+    rps = _f(args, 1)
+    bufsize = max(1, int(np.ceil(data_rate / rps)))
+    sleep_s = 1.0 / rps
+    sys.stderr.write(f"flowcontrol: bufsize={bufsize} sleep={sleep_s:.6f}s\n")
+    stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
+    while True:
+        data = stdin.read(bufsize)
+        if not data:
+            break
+        stdout.write(data)
+        stdout.flush()
+        time.sleep(sleep_s)
+
+
+@command("clone", "REM", "through", "dump_f", "floatdump_f", "dump_u8",
+         "setbuf")
 def _c_passthrough(args, _cmd_holder=[None]):
-    """clone: byte passthrough; through: passthrough + rate meter on stderr;
-    dump_f/dump_u8: print values; none: consume (reference csdr.c:431-531,
-    2046-2082)."""
+    """clone/REM/setbuf: byte passthrough; through: passthrough + rate meter
+    on stderr; dump_f/dump_u8: print values as text/hex (reference
+    csdr.c:431-531, 1056-1067, 2046-2082, 2802-2814)."""
     import time
     cmd = sys.argv[1]
+    if cmd in ("floatdump_f",):
+        cmd = "dump_f"
     stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
     total, t0 = 0, time.time()
     while True:
@@ -342,8 +371,6 @@ def _c_passthrough(args, _cmd_holder=[None]):
         if not data:
             break
         total += len(data)
-        if cmd == "none":
-            continue
         if cmd == "dump_f":
             vals = np.frombuffer(data[: len(data) // 4 * 4], np.float32)
             sys.stdout.write(" ".join(f"{v:g}" for v in vals) + " ")
@@ -596,9 +623,10 @@ def _c_bandpass(args):
 
 @command("peaks_fir_cc")
 def _c_peaks(args):
+    # <taps_length> <peak_rate x N> (reference csdr.c:2975)
     from csdr_tpu.ops import fir
-    length = int(args[-1])
-    rates = [float(a) for a in args[:-1]]
+    length = int(args[0])
+    rates = [float(a) for a in args[1:]]
     pump(fir.peaks_fir_cc_block(rates, length), "c", "c")
 
 
@@ -1253,6 +1281,326 @@ def _c_gnoise(args):
         x = noise.gaussian_noise_c(65536, seed=n)
         sys.stdout.buffer.write(cplx.to_numpy(x).astype(np.complex64).tobytes())
         n += 1
+
+
+# --- remaining parity commands ------------------------------------------------
+
+@command("fifo")
+def _c_fifo(args):
+    """Decoupling circular buffer between two pipeline stages: select() on
+    nonblocking stdin/stdout, drop-oldest on overrun (reference
+    csdr.c:447-531)."""
+    from collections import deque
+    buffer_size = _i(args, 0)
+    num_buffers = _i(args, 1)
+    q = deque()
+    partial = b""
+    os.set_blocking(sys.stdin.fileno(), False)
+    os.set_blocking(sys.stdout.fileno(), False)
+    overrun_shown = False
+    in_open = True
+    while in_open or q:
+        rfds = [sys.stdin.fileno()] if in_open else []
+        wfds = [sys.stdout.fileno()] if q else []
+        r, w, _ = select.select(rfds, wfds, [], 1.0)
+        if r:
+            while True:
+                try:
+                    data = os.read(sys.stdin.fileno(), buffer_size)
+                except BlockingIOError:
+                    break
+                if not data:
+                    in_open = False
+                    if partial:
+                        q.append(partial)
+                        partial = b""
+                    break
+                partial += data
+                while len(partial) >= buffer_size:
+                    q.append(partial[:buffer_size])
+                    partial = partial[buffer_size:]
+                    if len(q) > num_buffers:
+                        q.popleft()
+                        if not overrun_shown:
+                            overrun_shown = True
+                            sys.stderr.write(
+                                "fifo: circular buffer full, dropping samples\n")
+                    else:
+                        overrun_shown = False
+        if w and q:
+            buf = q.popleft()
+            try:
+                written = os.write(sys.stdout.fileno(), buf)
+                if written < len(buf):
+                    q.appendleft(buf[written:])
+            except BlockingIOError:
+                q.appendleft(buf)
+            except BrokenPipeError:
+                return 1
+    return 0
+
+
+@command("tee")
+def _c_tee(args):
+    """Passthrough + asynchronous file branch: the file writer runs on its
+    own thread over a bounded queue and DROPS buffers rather than stalling
+    the main stream (reference csdr.c:3323-3363)."""
+    import threading
+    from collections import deque
+    if not args:
+        raise SystemExit("required parameter <path> is missing.")
+    path = args[0]
+    num_buffers = _i(args, 1, 100)
+    f = open(path, "wb")
+    sys.stderr.write(f"tee: file opened: {path}\n")
+    q = deque(maxlen=num_buffers)
+    stop = False
+    cond = threading.Condition()
+
+    def writer():
+        while True:
+            with cond:
+                while not q and not stop:
+                    cond.wait()
+                if not q and stop:
+                    return
+                buf = q.popleft()
+            f.write(buf)
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
+    while True:
+        data = stdin.read(65536)
+        if not data:
+            break
+        stdout.write(data)
+        stdout.flush()
+        with cond:
+            if len(q) == num_buffers:
+                sys.stderr.write("tee: circular buffer overflow\n")
+            q.append(data)
+            cond.notify()
+    with cond:
+        stop = True
+        cond.notify()
+    t.join()
+    f.close()
+    return 0
+
+
+@command("shift_addition_fc")
+def _c_shift_fc(args):
+    """Real -> complex modulator shift (reference libcsdr_gpl.c:54-79)."""
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import shift
+    import jax.numpy as jnp
+    rate = _f(args, 0)
+
+    def init():
+        return jnp.float32(0.0)
+
+    def apply(phase, x):
+        y, nphase = shift.shift_fc(x, rate, phase)
+        return nphase, y
+
+    pump(Block("shift_fc", init, apply), "f", "c")
+
+
+@command("shift_addition_cc_test")
+def _c_shift_test(args):
+    """NCO accuracy self-test: error vector (dB) of the float32 direct NCO
+    vs a float64 oscillator over 500k samples (the reference tests its trig
+    recurrence the same way, libcsdr_gpl.c:94-124)."""
+    from csdr_tpu.ops import shift
+    from csdr_tpu.core.cplx import CF
+    import jax.numpy as jnp
+    rate = _f(args, 0, 0.24567)
+    n = 500_000
+    ones = CF(jnp.ones(n, jnp.float32), jnp.zeros(n, jnp.float32))
+    y, _ = shift.shift_cc(ones, rate, 0.0)
+    k = np.arange(n, dtype=np.float64)
+    ref = np.exp(2j * np.pi * ((k * rate) % 1.0))
+    err = (np.asarray(y.re) - ref.real) ** 2 + (np.asarray(y.im) - ref.imag) ** 2
+    ev = 10 * np.log10(np.mean(err) + 1e-300)
+    print(f"error vector = {ev:.2f} dB over {n} samples at rate {rate}")
+    return 0
+
+
+@command("old_fractional_decimator_ff")
+def _c_oldfracdec(args):
+    """Deprecated linear-interp fractional decimator (libcsdr.c:682-713)."""
+    from csdr_tpu import firdes
+    from csdr_tpu.ops import resamp
+    rate = _f(args, 0)
+    taps = None
+    if len(args) > 1:
+        bw = float(args[1])
+        win = _window(args, 2)
+        taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw),
+                                       0.5 / rate, win)
+    stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
+    remain, pend = 0.0, np.zeros(0, np.float32)
+    while True:
+        data = stdin.read(1 << 18)
+        if not data:
+            break
+        x = np.concatenate([pend, np.frombuffer(data, np.float32)])
+        y, used, remain = resamp.old_fractional_decimator_ff(x, rate, taps, remain)
+        pend = x[used:]
+        stdout.write(np.asarray(y, np.float32).tobytes())
+        stdout.flush()
+    return 0
+
+
+@command("plain_interpolate_cc")
+def _c_plainint(args):
+    """Zero-stuffing interpolator (reference libcsdr.c:2499-2506)."""
+    from csdr_tpu.core.cplx import CF
+    import jax.numpy as jnp
+    interp = _i(args, 0)
+
+    def fn(x):
+        n = x.shape[0]
+        re = jnp.zeros((n, interp), jnp.float32).at[:, 0].set(x.re)
+        im = jnp.zeros((n, interp), jnp.float32).at[:, 0].set(x.im)
+        return CF(re.reshape(-1), im.reshape(-1))
+
+    _stateless_pump(fn, "c", "c")
+
+
+@command("suboptimal_rational_resampler_ff")
+def _c_subopt_rr(args):
+    """The reference maps this name onto the normal rational resampler with a
+    stderr note (csdr.c:1408-1431, the suboptimal path itself is commented
+    out at csdr.c:1456); we do the same."""
+    sys.stderr.write("note: suboptimal rational resampler chosen.\n")
+    return REGISTRY["rational_resampler_ff"](args)
+
+
+@command("firdes_peak_c")
+def _c_firdes_peak(args):
+    """Peak-filter tap dump: <rate> <length> [window] (csdr.c:2932-2973)."""
+    from csdr_tpu import firdes
+    rate = _f(args, 0)
+    length = _i(args, 1)
+    if length % 2 == 0:
+        raise SystemExit("number of symmetric FIR filter taps should be odd")
+    win = _window(args, 2)
+    taps = firdes.firdes_add_peak_c(length, [rate], win)
+    print(",".join(f"({t.real:g}{t.imag:+g}j)" for t in taps))
+
+
+@command("rtty_line_decoder_u8_u8")
+def _c_rtty_line(args):
+    """Framed bit symbols -> ASCII via the baudot start/stop state machine
+    (reference csdr.c:2446-2459 over rtty_baudot_decoder_push)."""
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import digital
+
+    def apply(state, x):
+        out, state = digital.rtty_baudot_decoder(x, state=state)
+        return state, out
+
+    pump(Block("rtty", lambda: None, apply), "u8", "u8")
+
+
+@command("rtty_baudot2ascii_u8_u8")
+def _c_rtty_b2a(args):
+    """Direct 5-bit baudot codes -> ASCII (reference csdr.c:2461-2474)."""
+    from csdr_tpu.core.block import Block
+    from csdr_tpu.ops import digital
+    import jax.numpy as jnp
+
+    def apply(mode, x):
+        out, mode = digital.rtty_baudot2ascii_u8_u8(x, mode)
+        return mode, out
+
+    pump(Block("b2a", lambda: jnp.int32(0), apply), "u8", "u8")
+
+
+@command("octave_complex_c")
+def _c_octave_c(args):
+    """Emit octave plot scripts of the first <samples_to_plot> of every
+    <out_of_n_samples> complex samples (reference csdr.c:2647-2682)."""
+    nplot = _i(args, 0)
+    out_of = _i(args, 1)
+    mode2d = "--2d" in args
+    if out_of < nplot:
+        raise SystemExit("out_of_n_samples should be >= samples_to_plot")
+    stdin = sys.stdin.buffer
+    while True:
+        data = stdin.read(8 * nplot)
+        if len(data) < 8 * nplot:
+            break
+        iq = np.frombuffer(data, np.float32).reshape(-1, 2)
+        print(f"N = {nplot};\nisig = [" +
+              " ".join(f"{v:f}" for v in iq[:, 0]) + "];\nqsig = [" +
+              " ".join(f"{v:f}" for v in iq[:, 1]) + "];\nzsig = [0:N-1];")
+        if mode2d:
+            print("subplot(2,1,1);\nplot(zsig,isig);\n"
+                  "subplot(2,1,2);\nplot(zsig,qsig);")
+        else:
+            print("plot3(isig,zsig,qsig);")
+        sys.stdout.flush()
+        skip = (out_of - nplot) * 8
+        while skip > 0:
+            d = stdin.read(min(skip, 1 << 16))
+            if not d:
+                return 0
+            skip -= len(d)
+    return 0
+
+
+@command("_fft2octave")
+def _c_fft2octave(args):
+    """Live octave spectrum plot driver (reference csdr.c:2380-2405)."""
+    fft_size = _i(args, 0)
+    print(f'setenv("GNUTERM","X11 noraise");y=zeros(1,{fft_size});'
+          'semilogy(y,"ydatasource","y");')
+    stdin = sys.stdin.buffer
+    while True:
+        data = stdin.read(8 * fft_size)
+        if len(data) < 8 * fft_size:
+            break
+        iq = np.frombuffer(data, np.float32).reshape(-1, 2)
+        half = fft_size // 2
+        swapped = np.concatenate([iq[half:], iq[:half]])
+        print("fftdata=[" +
+              " ".join(f"({i:g})+({q:g})*i" for i, q in swapped) +
+              "];\ny=abs(fftdata);\nrefreshdata;")
+        sys.stdout.flush()
+    return 0
+
+
+@command("syncword_search")
+def _c_syncword(args):
+    """Find a hex syncword in a bit stream (u8 0/1 per bit) and print the
+    bit offsets to stderr.  The reference's version is an unfinished
+    commented-out draft (csdr.c:3500-3531); this is a working equivalent
+    built on the same pattern-match core as pattern_search_u8_u8."""
+    if len(args) < 2:
+        raise SystemExit("need <syncword_hex> <bits_after>")
+    word = args[0]
+    bits_after = int(args[1])
+    pattern = np.array(
+        [(int(c, 16) >> j) & 1 for c in word for j in (3, 2, 1, 0)], np.uint8)
+    sys.stderr.write(f"syncword = 0x{word}, n_bits = {len(pattern)}\n")
+    from csdr_tpu.ops import digital
+    data = sys.stdin.buffer.read()
+    out = digital.pattern_search_u8_u8(np.frombuffer(data, np.uint8),
+                                       pattern, bits_after)
+    sys.stdout.buffer.write(np.asarray(out, np.uint8).tobytes())
+    return 0
+
+
+@command("--help")
+def _c_help(args):
+    sys.stderr.write(USAGE_NOTE)
+    for name in sorted(REGISTRY):
+        if not name.startswith("-"):
+            sys.stderr.write(f"    {name}\n")
+    return 0
 
 
 if __name__ == "__main__":

@@ -179,6 +179,36 @@ def rtty_baudot_decoder(symbols, max_out: int | None = None, state=None):
     return VarOut(data[:cap].astype(jnp.uint8), count), state
 
 
+def rtty_baudot2ascii_u8_u8(codes, fig_mode=0):
+    """Direct 5-bit baudot codes -> ASCII (reference
+    rtty_baudot_decoder_lookup, libcsdr.c:1613-1621).  Unlike the
+    reference's per-char call, the figures/letters mode is a carried prefix
+    state computed in parallel: a cummax over the indices of mode-select
+    codes gives each position its governing select code.
+
+    Returns (VarOut ascii, fig_mode')."""
+    c = jnp.asarray(codes, jnp.int32) & 31
+    n = c.shape[0]
+    is_fig = c == RTTY_FIGURE_MODE_SELECT_CODE
+    is_ltr = c == RTTY_LETTER_MODE_SELECT_CODE
+    sel = is_fig | is_ltr
+    idx = jnp.where(sel, jnp.arange(n, dtype=jnp.int32), -1)
+    last_sel = jax.lax.cummax(idx)
+    sel_mode = is_fig.astype(jnp.int32)
+    mode = jnp.where(last_sel >= 0, sel_mode[jnp.maximum(last_sel, 0)],
+                     jnp.asarray(fig_mode, jnp.int32))
+    letters = jnp.asarray(_BAUDOT_LETTERS)
+    figures = jnp.asarray(_BAUDOT_FIGURES)
+    ch = jnp.where(mode != 0, figures[c], letters[c])
+    emit = (~sel) & (ch != 0)
+    pos = jnp.cumsum(emit.astype(jnp.int32)) - 1
+    tgt = jnp.where(emit, pos, n)
+    data = jnp.zeros((n + 1,), jnp.int32).at[tgt].set(ch, mode="drop")
+    count = jnp.sum(emit.astype(jnp.int32))
+    new_mode = mode[-1] if n > 0 else jnp.asarray(fig_mode, jnp.int32)
+    return VarOut(data[:n].astype(jnp.uint8), count), new_mode
+
+
 # --------------------------------------------------------------------------
 # slicers / modulators / bit plumbing
 # --------------------------------------------------------------------------

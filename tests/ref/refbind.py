@@ -497,3 +497,49 @@ def timing_recovery(x, algorithm, decimation, loop_gain=0.5, max_error=2.0,
     n = st.output_size
     return (out.view(np.complex64)[:n], errs[:n], idxs[:n],
             st.input_processed, st.last_correction_offset)
+
+
+def firdes_add_peak_c(length: int, rates, window: int = WINDOW_HAMMING,
+                      normalize: bool = True) -> np.ndarray:
+    """Multi-peak complex FIR design (libcsdr.c:2219-2259): additive over
+    rates, optional normalize on the last call — mirrors peaks_fir_cc's CLI
+    usage (csdr.c:2975-3016)."""
+    out = np.zeros(2 * length, np.float32)
+    l_ = lib()
+    l_.firdes_add_peak_c.argtypes = [f32p, ctypes.c_int, ctypes.c_float,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    for k, r in enumerate(rates):
+        l_.firdes_add_peak_c(out, length, r, window, 1,
+                             int(normalize and k == len(rates) - 1))
+    return out.view(np.complex64)
+
+
+def rtty_baudot_decoder_lookup(codes, fig_mode: int = 0):
+    """Direct 5-bit codes -> ascii (libcsdr.c:1613-1621)."""
+    l_ = lib()
+    l_.rtty_baudot_decoder_lookup.argtypes = [ctypes.POINTER(ctypes.c_ubyte),
+                                              ctypes.c_ubyte]
+    l_.rtty_baudot_decoder_lookup.restype = ctypes.c_char
+    mode = ctypes.c_ubyte(fig_mode)
+    out = []
+    for c in codes:
+        ch = l_.rtty_baudot_decoder_lookup(ctypes.byref(mode), int(c))
+        if ch != b"\x00":
+            out.append(ch)
+    return b"".join(out), mode.value
+
+
+def rtty_baudot_decoder_push(symbols):
+    """Framed bit symbols -> ascii via the start/stop state machine
+    (libcsdr.c:1623-1654)."""
+    l_ = lib()
+    state = (ctypes.c_ubyte * 64)()  # > sizeof(rtty_baudot_decoder_t), zeroed
+    l_.rtty_baudot_decoder_push.argtypes = [ctypes.POINTER(ctypes.c_ubyte),
+                                            ctypes.c_ubyte]
+    l_.rtty_baudot_decoder_push.restype = ctypes.c_char
+    out = []
+    for s in symbols:
+        ch = l_.rtty_baudot_decoder_push(state, int(s))
+        if ch != b"\x00":
+            out.append(ch)
+    return b"".join(out)

@@ -1,0 +1,132 @@
+"""Tests for the long-tail parity CLI commands and their ops, golden-checked
+against the reference where a reference implementation exists
+(tee/fifo/flowcontrol/dump/rtty/plain_interpolate/firdes_peak_c/
+shift_addition_fc/octave plotting/syncword_search)."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "ref"))
+import refbind  # noqa: E402
+
+
+def run(cmd, inp=b"", timeout=300):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run([sys.executable, "-m", "csdr_tpu.cli"] + cmd,
+                          input=inp, capture_output=True, timeout=timeout,
+                          env=env)
+
+
+def test_firdes_peak_c_golden():
+    from csdr_tpu import firdes
+    for rates in ([0.1], [0.05, -0.2]):
+        ours = firdes.firdes_add_peak_c(57, rates)
+        ref = refbind.firdes_add_peak_c(57, rates)
+        np.testing.assert_allclose(np.asarray(ours, np.complex64), ref,
+                                   rtol=0, atol=2e-6)
+
+
+def test_rtty_baudot2ascii_golden():
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 32, 200).astype(np.uint8)
+    ref, ref_mode = refbind.rtty_baudot_decoder_lookup(codes)
+    from csdr_tpu.ops import digital
+    out, mode = digital.rtty_baudot2ascii_u8_u8(codes)
+    got = bytes(np.asarray(out.data)[: int(out.count)])
+    assert got == ref
+    assert int(mode) == ref_mode
+
+
+def test_rtty_baudot2ascii_carry():
+    """fig_mode must carry across block boundaries."""
+    from csdr_tpu.ops import digital
+    codes = np.array([0b11011, 0b11101, 0b11111, 0b00101], np.uint8)  # FIG 1 LTR H
+    o1, m = digital.rtty_baudot2ascii_u8_u8(codes[:2])
+    o2, m = digital.rtty_baudot2ascii_u8_u8(codes[2:], m)
+    text = bytes(np.asarray(o1.data)[: int(o1.count)]) + \
+        bytes(np.asarray(o2.data)[: int(o2.count)])
+    assert text == b"1H"
+
+
+def test_rtty_line_decoder_golden():
+    rng = np.random.default_rng(3)
+    # framed stream: idle 1s, start 0, 5 bits, stop 1s — plus random junk
+    symbols = []
+    for code in rng.integers(0, 32, 40):
+        symbols += [1, 1, 0] + [(int(code) >> (4 - i)) & 1 for i in range(5)]
+    symbols += [1, 1]
+    ref = refbind.rtty_baudot_decoder_push(symbols)
+    r = run(["rtty_line_decoder_u8_u8"], bytes(symbols))
+    assert r.stdout == ref, (r.stdout, ref)
+
+
+def test_plain_interpolate_cc():
+    x = (np.arange(10) + 1j * np.arange(10)).astype(np.complex64)
+    r = run(["plain_interpolate_cc", "4"], x.tobytes())
+    y = np.frombuffer(r.stdout, np.complex64).reshape(10, 4)
+    np.testing.assert_array_equal(y[:, 0], x)
+    assert not y[:, 1:].any()
+
+
+def test_shift_addition_fc():
+    x = np.ones(32, np.float32)
+    r = run(["shift_addition_fc", "0.25"], x.tobytes())
+    y = np.frombuffer(r.stdout, np.complex64)
+    np.testing.assert_allclose(y[:4], [1, 1j, -1, -1j], atol=1e-5)
+
+
+def test_fifo_tee_flowcontrol_dumps():
+    payload = bytes(range(256)) * 16
+    assert run(["fifo", "64", "128"], payload).stdout == payload
+    with tempfile.NamedTemporaryFile(delete=False) as tf:
+        path = tf.name
+    try:
+        r = run(["tee", path], payload)
+        assert r.stdout == payload and open(path, "rb").read() == payload
+    finally:
+        os.unlink(path)
+    assert run(["flowcontrol", "409600", "100"], payload).stdout == payload
+    f = np.array([1.5, -2.0], np.float32)
+    assert run(["dump_f"], f.tobytes()).stdout.startswith(b"1.5 -2 ")
+    assert run(["dump_u8"], b"\x0f\xa0").stdout.startswith(b"0f a0")
+    assert run(["none"], payload).returncode == 0
+
+
+def test_old_fractional_decimator_matches_streaming():
+    """Streaming CLI output == one-shot op output (carry correctness)."""
+    from csdr_tpu.ops import resamp
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(70000).astype(np.float32)
+    y_once, used, _ = resamp.old_fractional_decimator_ff(x, 2.2)
+    r = run(["old_fractional_decimator_ff", "2.2"], x.tobytes())
+    y_cli = np.frombuffer(r.stdout, np.float32)
+    n = min(len(y_cli), len(y_once))
+    assert n > 25000
+    np.testing.assert_allclose(y_cli[:n], np.asarray(y_once)[:n], atol=1e-5)
+
+
+def test_syncword_search():
+    bits = np.array([0, 1] * 10 + [1, 0, 1, 0, 1, 1, 1, 1] +
+                    [1, 0, 1, 1, 0, 0, 1, 0], np.uint8)
+    r = run(["syncword_search", "af", "8"], bits.tobytes())
+    assert list(np.frombuffer(r.stdout, np.uint8))[-8:] == [1, 0, 1, 1, 0, 0, 1, 0]
+
+
+def test_octave_outputs():
+    x = np.arange(32, dtype=np.float32).view(np.complex64)
+    r = run(["octave_complex_c", "4", "8", "--2d"], x.tobytes())
+    assert b"subplot(2,1,1)" in r.stdout and r.stdout.count(b"N = 4") == 2
+    r = run(["_fft2octave", "4"], x.tobytes())
+    assert b"semilogy" in r.stdout and b"fftdata=[" in r.stdout
+
+
+def test_help_and_search():
+    r = run(["--help"])
+    assert b"fastddc_inv_cc" in r.stderr
+    r = run(["?shift"])
+    assert b"shift_math_cc" in r.stdout
