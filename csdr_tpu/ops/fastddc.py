@@ -182,6 +182,58 @@ def raw_gather_perm(ddc: FastDDC) -> np.ndarray:
     return ((p + ddc.fft_size // 2) % ddc.fft_size).astype(np.int32)
 
 
+def channel_arrays(ddc: FastDDC, shift_rate: float):
+    """Host-side per-channel arrays for the dynamic inverse: (taps_eff_row
+    complex64 (fft,), fold_perm_row int32 (fft,), dsa_rate float32).  A ddcd
+    retune recomputes ONE channel's rows — microseconds of numpy — and ships
+    them to the device; the jitted step never recompiles (they are traced
+    arguments, not closure constants)."""
+    ch = fastddc_init(ddc.transition_bw,
+                      ddc.pre_decimation * ddc.post_decimation,
+                      float(shift_rate), ddc.window)
+    assert ch.fft_size == ddc.fft_size and ch.fft_inv_size == ddc.fft_inv_size
+    taps_row = channel_taps_fft(ch, float(shift_rate)).astype(np.complex64)
+    taps_row = taps_row[make_fold_perm(ch)]
+    return taps_row, raw_gather_perm(ch), np.float32(ch.post_shift) * ddc.post_decimation
+
+
+def fastddc_inv_dynamic_block(ddc: FastDDC, n_channels: int):
+    """The ddcd-server inverse: like fastddc_inv_block, but taps_eff /
+    fold_perm / dsa_rates are ARGUMENTS of the jitted step so channels can be
+    retuned/claimed/released at runtime with no recompilation (the TPU-native
+    replacement for ddcd forking a fresh ``csdr fastddc_inv_cc`` per client,
+    ddcd_old.cpp:238-256).
+
+    Returns (init, step); step(state, spectra CF (B, fft), taps_eff CF
+    (C, fft), fold_perm (C, fft) i32, dsa_rates (C,) f32) ->
+    (state', VarOut(CF (C, cap), counts))."""
+    post = ddc.post_decimation
+    pis = ddc.post_input_size
+    c = n_channels
+
+    def init():
+        return (jnp.zeros((c,), jnp.float32), jnp.zeros((c,), jnp.int32))
+
+    def step(state, spectra: CF, taps_eff: CF, fold_perm, dsa_rates):
+        phases, offsets = state
+        td = fastddc_inv_batch(spectra, ddc, taps_eff, fold_perm)
+        b = td.shape[0]
+        flat = CF(td.re.transpose(1, 0, 2).reshape(c, b * pis),
+                  td.im.transpose(1, 0, 2).reshape(c, b * pis))
+
+        def one(xre, xim, rate, phase, offset):
+            from csdr_tpu.ops.shift import decimating_shift_cc
+            y, count, nphase, noffset = decimating_shift_cc(
+                CF(xre, xim), rate, post, phase, offset)
+            return y.re, y.im, count, nphase, noffset
+
+        yr, yi, counts, nph, noff = jax.vmap(one)(
+            flat.re, flat.im, dsa_rates, phases, offsets)
+        return (nph, noff), VarOut(CF(yr, yi), counts)
+
+    return init, step
+
+
 def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> Block:
     """Spectra CF (B, fft_size) -> per-channel baseband VarOut.
 

@@ -1,0 +1,346 @@
+"""ddcd-tpu: a DDC (digital down-converter) server with per-TCP-client
+channels, the TPU-native re-design of the reference's ddcd
+(ddcd_old.cpp:97-560).
+
+Where the reference forks a fresh `csdr` pipeline per client (time-domain
+method) or a per-client `fastddc_inv_cc` process fed by one shared
+`fastddc_fwd_cc` (ddcd_old.h:51-61), this server keeps ALL clients' channels
+as rows of ONE batched device computation:
+
+- **fastddc method**: one shared forward FFT of the wideband stream; the
+  batched frequency-domain inverse (ops/fastddc.fastddc_inv_dynamic_block)
+  channelizes every client at once.  Per-channel taps/fold-permutations/
+  NCO rates are *traced arguments*, so claiming, releasing, or retuning a
+  channel ("shift=<rate>\\n" on the client socket, same text protocol as
+  ddcd_old.cpp:497-526) recomputes a few small host arrays and never
+  recompiles.
+- **td method**: vmapped NCO shift + shared-taps polyphase FIR decimation
+  over the channel axis (the reference's shift_addfast_cc | fir_decimate_cc
+  per-client pipeline, ddcd_old.h:51-57, collapsed into one batch).
+
+Commands: `shift=<rate>` retune; `bypass=1`/`bypass=0` switch the client
+between the raw wideband stream and its channel (ddcd_old.cpp:504-520).
+Slow clients drop oldest buffers instead of stalling the device loop —
+tsmpool semantics (native/tsmpool.hpp).
+
+Usage:
+    ... wideband f32-interleaved I/Q on stdin ...
+    python -m csdr_tpu.server.ddcd --port 4953 --decimation 50 \\
+        [--method fastddc|td] [--bw 0.05] [--max_channels 8] [--frames 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import sys
+import threading
+from collections import deque
+
+import numpy as np
+
+
+class _Client:
+    def __init__(self, sock: socket.socket, slot: int):
+        self.sock = sock
+        self.slot = slot
+        self.bypass = False
+        self.queue: deque[bytes] = deque(maxlen=64)   # drop-oldest
+        self.cond = threading.Condition()
+        self.alive = True
+
+    def push(self, data: bytes):
+        with self.cond:
+            self.queue.append(data)
+            self.cond.notify()
+
+    def stop(self):
+        with self.cond:
+            self.alive = False
+            self.cond.notify()
+
+
+class DdcdServer:
+    def __init__(self, decimation: int, transition_bw: float = 0.05,
+                 max_channels: int = 8, method: str = "fastddc",
+                 frames: int = 16, port: int = 4953,
+                 address: str = "127.0.0.1"):
+        import jax
+        import jax.numpy as jnp
+        from csdr_tpu.ops import fastddc
+        from csdr_tpu.core.cplx import CF
+
+        self.jnp, self.CF = jnp, CF
+        self.method = method
+        self.decimation = decimation
+        self.max_channels = c = max_channels
+        self.port, self.address = port, address
+        self.clients: dict[int, _Client] = {}
+        self.lock = threading.Lock()          # slots + host channel arrays
+        self.dirty = True
+        self.running = True
+
+        if method == "fastddc":
+            self.ddc = fastddc.fastddc_init(transition_bw, decimation)
+            self.chunk_in = self.ddc.input_size * frames
+            # host-side channel arrays; row = channel slot
+            t0, p0, r0 = fastddc.channel_arrays(self.ddc, 0.0)
+            self.taps_np = np.zeros((c, self.ddc.fft_size), np.complex64)
+            self.perm_np = np.tile(p0, (c, 1)).astype(np.int32)
+            self.rate_np = np.zeros((c,), np.float32)
+            self._idle_row = (t0, p0, r0)
+
+            fwd = fastddc.fastddc_fwd_block(self.ddc)
+            init_inv, step_inv = fastddc.fastddc_inv_dynamic_block(self.ddc, c)
+            self.state = (fwd.init(), init_inv())
+
+            def step(state, x, t_re, t_im, perm, rates):
+                fwd_st, inv_st = state
+                fwd_st, spectra = fwd.apply(fwd_st, x)
+                inv_st, out = step_inv(inv_st, spectra, CF(t_re, t_im),
+                                       perm, rates)
+                return (fwd_st, inv_st), out.data, out.count
+
+            self._step = jax.jit(step)
+        elif method == "td":
+            from csdr_tpu import firdes
+            from csdr_tpu.ops import fir, shift as shift_ops
+            taps = firdes.firdes_lowpass_f(
+                firdes.firdes_filter_len(transition_bw), 0.5 / decimation)
+            t = len(taps)
+            tail_len = ((t - 1 + decimation - 1) // decimation) * decimation
+            self.chunk_in = frames * 4096 - (frames * 4096) % decimation
+            self.rate_np = np.zeros((c,), np.float32)
+            taps_j = jnp.asarray(taps)
+
+            def init():
+                return (jnp.zeros((c,), jnp.float32),           # NCO phase
+                        CF(jnp.zeros((c, tail_len), jnp.float32),
+                           jnp.zeros((c, tail_len), jnp.float32)))
+
+            self.state = init()
+
+            def one(xre, xim, rate, phase, tail_re, tail_im):
+                xcat = CF(jnp.concatenate([tail_re, xre]),
+                          jnp.concatenate([tail_im, xim]))
+                y, nphase = shift_ops.shift_cc(xcat, rate, phase)
+                dec = fir.fir_decimate_cc(y, taps_j, decimation)
+                n = xre.shape[0]
+                return dec.re, dec.im, nphase, xcat.re[n:], xcat.im[n:]
+
+            def step(state, x, rates):
+                phases, tails = state
+                # broadcast the shared wideband chunk over channels; the
+                # shift un-mixes each channel before the shared-taps FIR
+                xr = jnp.broadcast_to(x.re, (c, x.shape[0]))
+                xi = jnp.broadcast_to(x.im, (c, x.shape[0]))
+                yr, yi, nph, tr, ti = jax.vmap(one)(
+                    xr, xi, rates, phases, tails.re, tails.im)
+                n_out = yr.shape[1]
+                return (nph, CF(tr, ti)), CF(yr, yi), \
+                    jnp.full((c,), n_out, jnp.int32)
+
+            self._step = jax.jit(step)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+    # ---- slot management -------------------------------------------------
+
+    def _claim_slot(self, sock) -> _Client | None:
+        with self.lock:
+            used = {cl.slot for cl in self.clients.values()}
+            free = [i for i in range(self.max_channels) if i not in used]
+            if not free:
+                return None
+            slot = free[0]
+            cl = _Client(sock, slot)
+            self.clients[id(cl)] = cl
+            self._set_shift_locked(slot, 0.0)
+            return cl
+
+    def _release(self, cl: _Client):
+        with self.lock:
+            self.clients.pop(id(cl), None)
+            if self.method == "fastddc":
+                _, p0, _ = self._idle_row
+                self.taps_np[cl.slot] = 0.0       # silence the idle slot
+                self.perm_np[cl.slot] = p0
+            self.rate_np[cl.slot] = 0.0
+            self.dirty = True
+        cl.stop()
+
+    def _set_shift_locked(self, slot: int, rate: float):
+        if self.method == "fastddc":
+            from csdr_tpu.ops import fastddc
+            t, p, r = fastddc.channel_arrays(self.ddc, rate)
+            self.taps_np[slot], self.perm_np[slot] = t, p
+            self.rate_np[slot] = r
+        else:
+            # reference convention: td method feeds `shift=` straight into
+            # shift_addfast_cc (mix by +rate), so a channel centered at -rate
+            # comes to baseband — identical to the fastddc method's sign
+            self.rate_np[slot] = rate
+        self.dirty = True
+
+    def set_shift(self, slot: int, rate: float):
+        with self.lock:
+            self._set_shift_locked(slot, rate)
+
+    # ---- client threads ----------------------------------------------------
+
+    def _client_rx(self, cl: _Client):
+        """Parse newline text commands from the client socket."""
+        buf = b""
+        try:
+            while cl.alive:
+                data = cl.sock.recv(1024)
+                if not data:
+                    break
+                buf += data
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    self._handle_cmd(cl, line.decode(errors="replace").strip())
+        except OSError:
+            pass
+        self._release(cl)
+
+    def _handle_cmd(self, cl: _Client, line: str):
+        if line.startswith("shift="):
+            try:
+                rate = float(line[6:])
+            except ValueError:
+                return
+            sys.stderr.write(f"ddcd: slot {cl.slot} shift={rate}\n")
+            self.set_shift(cl.slot, rate)
+        elif line.startswith("bypass="):
+            cl.bypass = line[7:].strip() == "1"
+            sys.stderr.write(f"ddcd: slot {cl.slot} bypass={cl.bypass}\n")
+
+    def _client_tx(self, cl: _Client):
+        try:
+            while True:
+                with cl.cond:
+                    while not cl.queue and cl.alive:
+                        cl.cond.wait()
+                    if not cl.alive and not cl.queue:
+                        break
+                    data = cl.queue.popleft()
+                cl.sock.sendall(data)
+        except OSError:
+            pass
+        self._release(cl)
+        try:
+            cl.sock.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self, lsock):
+        while self.running:
+            try:
+                sock, _ = lsock.accept()
+            except OSError:
+                break
+            cl = self._claim_slot(sock)
+            if cl is None:
+                sys.stderr.write("ddcd: no free channel slots\n")
+                sock.close()
+                continue
+            sys.stderr.write(f"ddcd: client -> slot {cl.slot}\n")
+            threading.Thread(target=self._client_rx, args=(cl,),
+                             daemon=True).start()
+            threading.Thread(target=self._client_tx, args=(cl,),
+                             daemon=True).start()
+
+    # ---- device loop -------------------------------------------------------
+
+    def _run_chunk(self, x_np: np.ndarray):
+        """x_np: complex64 (chunk_in,). Returns (data (C, cap) c64, counts)."""
+        jnp, CF = self.jnp, self.CF
+        x = CF(jnp.asarray(x_np.real), jnp.asarray(x_np.imag))
+        with self.lock:
+            if self.dirty:
+                if self.method == "fastddc":
+                    self._dev = (jnp.asarray(self.taps_np.real),
+                                 jnp.asarray(self.taps_np.imag),
+                                 jnp.asarray(self.perm_np),
+                                 jnp.asarray(self.rate_np))
+                else:
+                    self._dev = (jnp.asarray(self.rate_np),)
+                self.dirty = False
+            dev = self._dev
+        self.state, data, counts = self._step(self.state, x, *dev)
+        dr = np.asarray(data.re)
+        di = np.asarray(data.im)
+        return dr, di, np.asarray(counts)
+
+    def serve(self, stdin=None):
+        stdin = stdin or sys.stdin.buffer
+        lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        lsock.bind((self.address, self.port))
+        lsock.listen(16)
+        sys.stderr.write(
+            f"ddcd: listening on {self.address}:{self.port} "
+            f"method={self.method} D={self.decimation} "
+            f"chunk={self.chunk_in}\n")
+        threading.Thread(target=self._accept_loop, args=(lsock,),
+                         daemon=True).start()
+        bytes_per = 8
+        pending = b""
+        try:
+            while True:
+                data = stdin.read(self.chunk_in * bytes_per - len(pending))
+                if not data:
+                    break
+                pending += data
+                if len(pending) < self.chunk_in * bytes_per:
+                    continue
+                x = np.frombuffer(pending, np.complex64)
+                raw = pending
+                pending = b""
+                dr, di, counts = self._run_chunk(x)
+                with self.lock:
+                    clients = list(self.clients.values())
+                for cl in clients:
+                    if cl.bypass:
+                        cl.push(raw)
+                        continue
+                    n = int(counts[cl.slot])
+                    out = np.empty((n, 2), np.float32)
+                    out[:, 0] = dr[cl.slot, :n]
+                    out[:, 1] = di[cl.slot, :n]
+                    cl.push(out.tobytes())
+        finally:
+            self.running = False
+            lsock.close()
+            with self.lock:
+                clients = list(self.clients.values())
+            for cl in clients:
+                cl.stop()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--port", type=int, default=4953)
+    ap.add_argument("--address", default="127.0.0.1")
+    ap.add_argument("--decimation", type=int, required=True)
+    ap.add_argument("--bw", type=float, default=0.05,
+                    help="transition bandwidth")
+    ap.add_argument("--method", choices=["fastddc", "td"], default="fastddc")
+    ap.add_argument("--max_channels", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=16)
+    args = ap.parse_args(argv)
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # sitecustomize preloads jax with its own platform; honor the env
+        # var like a fresh process would (same dance as cli.main)
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    srv = DdcdServer(args.decimation, args.bw, args.max_channels,
+                     args.method, args.frames, args.port, args.address)
+    srv.serve()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

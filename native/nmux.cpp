@@ -1,0 +1,146 @@
+// nmux: single-producer multi-consumer TCP stream fan-out.
+//
+// TPU-era equivalent of the reference's nmux (nmux.cpp:60-353): reads a raw
+// sample stream on stdin, publishes it through a TsmPool, and serves any
+// number of TCP clients, each on its own thread.  Slow clients are lapped
+// (drop-oldest) instead of stalling the producer — the property that lets a
+// waterfall client and a demod client share one SDR stream.
+//
+//   nmux --port 4952 [--address 0.0.0.0] [--bufsize 65536] [--bufcnt 64]
+//
+// Design differences from the reference (not a translation): buffer
+// hand-off is the seq-numbered TsmPool (tsmpool.hpp); client threads are
+// std::thread detached against an atomic live-count; the accept loop uses
+// poll(2); partial stdin reads are accumulated so published buffers are
+// always exactly bufsize bytes (the reference publishes partial buffers).
+#include "tsmpool.hpp"
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <poll.h>
+#include <signal.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+
+namespace {
+
+std::atomic<int> n_clients{0};
+
+void client_loop(int fd, TsmPool* pool) {
+  TsmPool::Reader r = pool->register_reader();
+  const std::size_t bs = pool->buf_size();
+  for (;;) {
+    const char* buf = pool->read_next(r, /*wait=*/true);
+    if (!buf) break;                       // producer EOF
+    std::size_t off = 0;
+    while (off < bs) {
+      ssize_t sent = send(fd, buf + off, bs - off, MSG_NOSIGNAL);
+      if (sent <= 0) goto done;            // client went away
+      off += static_cast<std::size_t>(sent);
+    }
+  }
+done:
+  close(fd);
+  --n_clients;
+}
+
+int usage(const char* argv0) {
+  std::fprintf(stderr,
+               "usage: %s --port <p> [--address <a>] [--bufsize <b>] "
+               "[--bufcnt <n>]\n",
+               argv0);
+  return 1;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  int port = 0, bufsize = 65536, bufcnt = 64;
+  std::string address = "0.0.0.0";
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() -> const char* {
+      return (i + 1 < argc) ? argv[++i] : nullptr;
+    };
+    if (a == "--port" || a == "-p") port = atoi(next());
+    else if (a == "--address" || a == "-a") address = next();
+    else if (a == "--bufsize" || a == "-b") bufsize = atoi(next());
+    else if (a == "--bufcnt" || a == "-n") bufcnt = atoi(next());
+    else if (a == "--help" || a == "-h") return usage(argv[0]);
+    else { std::fprintf(stderr, "nmux: unknown arg %s\n", a.c_str()); return 1; }
+  }
+  if (port <= 0 || bufsize <= 0 || bufcnt <= 1) return usage(argv[0]);
+  signal(SIGPIPE, SIG_IGN);
+
+  int lfd = socket(AF_INET, SOCK_STREAM, 0);
+  int one = 1;
+  setsockopt(lfd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  if (inet_pton(AF_INET, address.c_str(), &addr.sin_addr) != 1) {
+    std::fprintf(stderr, "nmux: bad address %s\n", address.c_str());
+    return 1;
+  }
+  if (bind(lfd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0 ||
+      listen(lfd, 16) < 0) {
+    perror("nmux: bind/listen");
+    return 1;
+  }
+  std::fprintf(stderr, "nmux: listening on %s:%d, bufsize=%d bufcnt=%d\n",
+               address.c_str(), port, bufsize, bufcnt);
+
+  TsmPool pool(static_cast<std::size_t>(bufsize),
+               static_cast<std::size_t>(bufcnt));
+  char* wbuf = pool.write_buffer();
+  std::size_t fill = 0;
+
+  pollfd fds[2] = {{STDIN_FILENO, POLLIN, 0}, {lfd, POLLIN, 0}};
+  bool stdin_open = true;
+  for (;;) {
+    fds[0].fd = stdin_open ? STDIN_FILENO : -1;
+    if (poll(fds, 2, -1) < 0) {
+      if (errno == EINTR) continue;
+      perror("nmux: poll");
+      break;
+    }
+    if (fds[1].revents & POLLIN) {
+      int cfd = accept(lfd, nullptr, nullptr);
+      if (cfd >= 0) {
+        setsockopt(cfd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+        ++n_clients;
+        std::fprintf(stderr, "nmux: client connected (%d total)\n",
+                     n_clients.load());
+        std::thread(client_loop, cfd, &pool).detach();
+      }
+    }
+    if (stdin_open && (fds[0].revents & (POLLIN | POLLHUP))) {
+      ssize_t got = read(STDIN_FILENO, wbuf + fill,
+                         static_cast<std::size_t>(bufsize) - fill);
+      if (got <= 0) {
+        stdin_open = false;
+        pool.close();
+        break;
+      }
+      fill += static_cast<std::size_t>(got);
+      if (fill == static_cast<std::size_t>(bufsize)) {
+        pool.commit();
+        wbuf = pool.write_buffer();
+        fill = 0;
+      }
+    }
+  }
+  // drain: give connected clients a moment to finish sending
+  for (int i = 0; i < 100 && n_clients.load() > 0; ++i)
+    usleep(20000);
+  close(lfd);
+  return 0;
+}

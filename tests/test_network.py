@@ -1,0 +1,176 @@
+"""Network runtime tests (SURVEY.md §2.11): the C++ tsmpool + nmux and the
+ddcd-tpu server.  nmux/tsmpool are built from native/ via make; ddcd runs as
+a subprocess fed a synthetic two-channel wideband stream."""
+
+import ctypes
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+NATIVE = ROOT / "native"
+
+
+@pytest.fixture(scope="module")
+def native_build():
+    subprocess.run(["make", "-C", str(NATIVE)], check=True,
+                   capture_output=True)
+    return NATIVE / "build"
+
+
+def test_tsmpool_fanout_and_lapping(native_build):
+    lib = ctypes.CDLL(str(native_build / "libtsmpool.so"))
+    lib.tsmpool_new.restype = ctypes.c_void_p
+    lib.tsmpool_new.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+    lib.tsmpool_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.tsmpool_register_reader.argtypes = [ctypes.c_void_p]
+    lib.tsmpool_read.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_char_p, ctypes.c_int]
+    lib.tsmpool_close.argtypes = [ctypes.c_void_p]
+    lib.tsmpool_delete.argtypes = [ctypes.c_void_p]
+
+    h = lib.tsmpool_new(4, 4)
+    r1 = lib.tsmpool_register_reader(h)
+    lib.tsmpool_write(h, b"AAAA")
+    lib.tsmpool_write(h, b"BBBB")
+    out = ctypes.create_string_buffer(4)
+    assert lib.tsmpool_read(h, r1, out, 0) == 1 and out.raw == b"AAAA"
+    assert lib.tsmpool_read(h, r1, out, 0) == 1 and out.raw == b"BBBB"
+    assert lib.tsmpool_read(h, r1, out, 0) == 0        # caught up
+    # a reader registered now sees only future buffers
+    r2 = lib.tsmpool_register_reader(h)
+    assert lib.tsmpool_read(h, r2, out, 0) == 0
+    # lapping: write depth+2 buffers; r2 must skip to the oldest live one
+    for i in range(6):
+        lib.tsmpool_write(h, bytes([65 + i]) * 4)
+    got = []
+    while lib.tsmpool_read(h, r2, out, 0):
+        got.append(out.raw)
+    assert got == [b"DDDD", b"EEEE", b"FFFF"]          # depth-1 newest kept
+    lib.tsmpool_close(h)
+    assert lib.tsmpool_read(h, r2, out, 1) == 0        # wait returns on close
+    lib.tsmpool_delete(h)
+
+
+def _recv_n(sock, n, timeout=10.0):
+    sock.settimeout(timeout)
+    data = b""
+    while len(data) < n:
+        chunk = sock.recv(n - len(data))
+        if not chunk:
+            break
+        data += chunk
+    return data
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_nmux_two_clients(native_build):
+    port = _free_port()
+    payload = bytes(range(256)) * 1024          # 256 KiB = 64 buffers of 4 KiB
+    proc = subprocess.Popen(
+        [str(native_build / "nmux"), "--port", str(port),
+         "--address", "127.0.0.1", "--bufsize", "4096", "--bufcnt", "128"],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        time.sleep(0.3)
+        c1 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        c2 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        time.sleep(0.2)                          # let reader threads register
+        proc.stdin.write(payload)
+        proc.stdin.close()
+        d1 = _recv_n(c1, len(payload))
+        d2 = _recv_n(c2, len(payload))
+        assert d1 == payload
+        assert d2 == payload
+        c1.close()
+        c2.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+def _tone_mix(fs_n, rates, amps, seed=0):
+    """Wideband: sum of complex tones at given normalized rates."""
+    n = np.arange(fs_n)
+    x = np.zeros(fs_n, np.complex64)
+    for r, a in zip(rates, amps):
+        x += (a * np.exp(2j * np.pi * r * n)).astype(np.complex64)
+    rng = np.random.default_rng(seed)
+    x += 0.001 * (rng.standard_normal(fs_n) +
+                  1j * rng.standard_normal(fs_n)).astype(np.complex64)
+    return x
+
+
+@pytest.mark.parametrize("method", ["fastddc", "td"])
+def test_ddcd_two_clients(method):
+    """Two clients on different channels each get their own tone back."""
+    port = _free_port()
+    rates = (0.11, -0.21)
+    decim = 16
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port", str(port),
+         "--decimation", str(decim), "--method", method, "--frames", "4",
+         "--max_channels", "4"],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                c1 = socket.create_connection(("127.0.0.1", port), timeout=2)
+                break
+            except OSError:
+                time.sleep(0.2)
+                if proc.poll() is not None:
+                    raise AssertionError(proc.stderr.read().decode())
+        c2 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        # `shift=r` mixes by +r (reference semantics), so to receive the
+        # tone at +rate the client asks for shift=-rate
+        c1.sendall(f"shift={-rates[0]}\n".encode())
+        c2.sendall(f"shift={-rates[1]}\n".encode())
+        time.sleep(0.3)
+
+        # feed enough wideband for several chunks
+        x = _tone_mix(1 << 19, rates, (1.0, 1.0))
+
+        def feeder():
+            try:
+                proc.stdin.write(
+                    np.stack([x.real, x.imag], -1).astype(np.float32).tobytes())
+                proc.stdin.close()
+            except OSError:
+                pass
+
+        threading.Thread(target=feeder, daemon=True).start()
+        want = 4096 * 8          # complex samples per client to check
+        d1 = _recv_n(c1, want * 8, timeout=120)
+        d2 = _recv_n(c2, want * 8, timeout=120)
+        for d, r in ((d1, rates[0]), (d2, rates[1])):
+            y = np.frombuffer(d, np.float32)
+            y = (y[0::2] + 1j * y[1::2])[512:]   # skip filter warmup
+            assert len(y) > 4096, len(y)
+            spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+            peak = np.fft.fftfreq(len(y))[np.argmax(spec)]
+            # the channel tone should land at baseband (|f| small)
+            assert abs(peak) < 0.02, (r, peak)
+            # and carry most of the energy
+            assert spec.max() > 10 * np.median(spec)
+        c1.close()
+        c2.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=15)
