@@ -52,10 +52,70 @@ def bench_ref_fir_decimate(d=10, taps_len=1023, n=1 << 20, iters=5):
         return None
 
 
+def bench_tpu_fastddc(decimation=16, channels=64, frames=1024):
+    """64-channel fastddc channelizer (BASELINE config 5), single chip:
+    wideband complex Msamples/s through fwd FFT + batched 64-channel
+    frequency-domain inverse + per-channel post NCO."""
+    import jax
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import fastddc as fd
+    from csdr_tpu.utils.timing import time_kernel
+
+    ddc = fd.fastddc_init(0.05, decimation)
+    rng = np.random.default_rng(0)
+    rates = rng.uniform(-0.4, 0.4, channels)
+    fwd = fd.fastddc_fwd_block(ddc)
+    inv = fd.fastddc_inv_block(ddc, rates)
+    n = frames * ddc.input_size
+    x = CF(jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)),
+           jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)))
+    s0 = (fwd.init(), inv.init())
+
+    def kernel(x):
+        _, spectra = fwd.apply(s0[0], x)
+        _, out = inv.apply(s0[1], spectra)
+        return out.data
+
+    per = time_kernel(kernel, x)
+    return n / per / 1e6
+
+
+def bench_ref_fastddc(decimation=16, n_frames=16, iters=3):
+    """Reference fastddc fwd+inv, ONE channel, this host's CPU."""
+    sys.path.insert(0, "tests/ref")
+    try:
+        import refbind
+        ddc = refbind.fastddc_init(0.05, decimation, 0.1)
+        n = n_frames * ddc.input_size
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+        refbind.fastddc_reference(x, decimation, 0.1)  # warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            refbind.fastddc_reference(x, decimation, 0.1)
+        dt = (time.perf_counter() - t0) / iters
+        return n / dt / 1e6
+    except Exception:
+        return None
+
+
 def main():
     tpu = bench_tpu_fir_decimate()
     ref = bench_ref_fir_decimate()
     vs = (tpu / ref) if ref else None
+    # secondary metrics -> stderr (driver records the single stdout line)
+    ddc_tpu = bench_tpu_fastddc()
+    ddc_ref1 = bench_ref_fastddc()
+    # the reference serves 64 channels with 1 fwd + 64 inv processes; its
+    # wideband rate is bounded by the per-channel pipeline rate / ~64.
+    ddc_vs = (ddc_tpu / (ddc_ref1 / 64)) if ddc_ref1 else None
+    sys.stderr.write(json.dumps({
+        "metric": "fastddc 64-channel channelizer wideband throughput",
+        "value": round(ddc_tpu, 1),
+        "unit": "complex Msamples/s/chip",
+        "ref_1ch_cpu_Msps": round(ddc_ref1, 1) if ddc_ref1 else None,
+        "vs_baseline_64ch": round(ddc_vs, 1) if ddc_vs else None,
+    }) + "\n")
     print(json.dumps({
         "metric": "fir_decimate_cc throughput (D=10, 1023 taps)",
         "value": round(tpu, 1),

@@ -103,6 +103,23 @@ def channel_taps_fft(ddc: FastDDC, shift_rate: float) -> np.ndarray:
     return np.fft.fftshift(tf)
 
 
+def overlap_frames(x: CF, tail: CF, ins: int, ov: int) -> CF:
+    """Overlapping frame matrix (B, ins+ov) from a flat stream + carried
+    tail, built with reshape/concat only: frame b = [last ov of block b-1
+    (or the tail for b=0) | block b].  A (B, fft) gather from the flat
+    stream compiles to a pathologically slow dynamic gather on TPU; this
+    form is pure static copies.  Requires ov <= ins (fft = next_pow2(4*taps)
+    guarantees ins >= 3*taps > ov)."""
+    assert ov <= ins, (ov, ins)
+    b = x.shape[0] // ins
+    blk_re = x.re.reshape(b, ins)
+    blk_im = x.im.reshape(b, ins)
+    prev_re = jnp.concatenate([tail.re[None, :], blk_re[:-1, ins - ov:]], 0)
+    prev_im = jnp.concatenate([tail.im[None, :], blk_im[:-1, ins - ov:]], 0)
+    return CF(jnp.concatenate([prev_re, blk_re], 1),
+              jnp.concatenate([prev_im, blk_im], 1))
+
+
 def fastddc_fwd_block(ddc: FastDDC, frames_per_chunk: int = 32) -> Block:
     """Wideband CF chunk (B*input_size,) -> spectra CF (B, fft_size).
 
@@ -120,12 +137,9 @@ def fastddc_fwd_block(ddc: FastDDC, frames_per_chunk: int = 32) -> Block:
         n = x.shape[0]
         assert n % ins == 0, f"chunk {n} % input_size {ins} != 0"
         b = n // ins
-        xcat = cplx.concat([tail, x])            # (ov + n,)
-        idx = (np.arange(ins + ov)[None, :]
-               + (np.arange(b) * ins)[:, None])  # static (B, fft_size)
-        frames = CF(xcat.re[idx], xcat.im[idx])
+        frames = overlap_frames(x, tail, ins, ov)
         spectra = cfft.fft(frames)
-        return xcat[n:], spectra
+        return x[n - ov:], spectra
 
     return Block("fastddc_fwd_cc", init, apply)
 
@@ -182,6 +196,44 @@ def raw_gather_perm(ddc: FastDDC) -> np.ndarray:
     return ((p + ddc.fft_size // 2) % ddc.fft_size).astype(np.int32)
 
 
+def channel_matrix(ddc: FastDDC, shift_rate: float) -> np.ndarray:
+    """One channel's dense fold matrix block F_c (fft_size, fft_inv_size)
+    complex64: folded = raw_spectrum @ F_c reproduces the reference's
+    swap-sides -> taps-multiply -> bin-fold (fastddc.c:118-146) as ONE
+    linear map.  F_c[i, j] accumulates taps_eff over the pre_decimation
+    slots k that fold raw bin i into inverse bin j (already /pre-normalized).
+
+    This is the MXU formulation: per-channel gathers amplify HBM traffic
+    fft/inv-fold; a dense matmul against the (fft, C*inv) stack instead puts
+    the whole inverse on the systolic array at high arithmetic intensity.
+    """
+    t, p, _ = channel_arrays(ddc, shift_rate)
+    inv = ddc.fft_inv_size
+    f = np.zeros((ddc.fft_size, inv), np.complex64)
+    slots = np.arange(ddc.fft_size)
+    np.add.at(f, (p[slots], slots % inv), t[slots])
+    return f / np.float32(ddc.pre_decimation)
+
+
+def fastddc_inv_batch_mxu(spectra: CF, ddc: FastDDC, fold_mat: CF,
+                          precision=jax.lax.Precision.HIGH):
+    """Channelize B spectra for C channels via the dense fold matrix:
+    spectra CF (B, fft); fold_mat CF (fft, C*inv) from channel_matrix
+    blocks.  Returns time samples (B, C, post_input) — same output as
+    fastddc_inv_batch, but the fold+taps runs as a complex matmul on the
+    MXU (4 real matmuls) instead of a per-channel gather."""
+    inv = ddc.fft_inv_size
+    b = spectra.shape[0]
+    dot = lambda a, m: jnp.dot(a, m, precision=precision,
+                               preferred_element_type=jnp.float32)
+    zr = dot(spectra.re, fold_mat.re) - dot(spectra.im, fold_mat.im)
+    zi = dot(spectra.re, fold_mat.im) + dot(spectra.im, fold_mat.re)
+    folded = CF(zr.reshape(b, -1, inv), zi.reshape(b, -1, inv))
+    folded = cfft.fft_swap_sides(folded)
+    td = cfft.ifft(folded, normalize=True)
+    return td[:, :, ddc.scrap:]
+
+
 def channel_arrays(ddc: FastDDC, shift_rate: float):
     """Host-side per-channel arrays for the dynamic inverse: (taps_eff_row
     complex64 (fft,), fold_perm_row int32 (fft,), dsa_rate float32).  A ddcd
@@ -198,15 +250,16 @@ def channel_arrays(ddc: FastDDC, shift_rate: float):
 
 
 def fastddc_inv_dynamic_block(ddc: FastDDC, n_channels: int):
-    """The ddcd-server inverse: like fastddc_inv_block, but taps_eff /
-    fold_perm / dsa_rates are ARGUMENTS of the jitted step so channels can be
+    """The ddcd-server inverse: like fastddc_inv_block, but the fold matrix
+    and NCO rates are ARGUMENTS of the jitted step so channels can be
     retuned/claimed/released at runtime with no recompilation (the TPU-native
     replacement for ddcd forking a fresh ``csdr fastddc_inv_cc`` per client,
-    ddcd_old.cpp:238-256).
+    ddcd_old.cpp:238-256).  A retune rewrites one channel's
+    (fft, fft_inv_size) block of the fold matrix (channel_matrix).
 
-    Returns (init, step); step(state, spectra CF (B, fft), taps_eff CF
-    (C, fft), fold_perm (C, fft) i32, dsa_rates (C,) f32) ->
-    (state', VarOut(CF (C, cap), counts))."""
+    Returns (init, step); step(state, spectra CF (B, fft), fold_mat CF
+    (fft, C*inv), dsa_rates (C,) f32) -> (state', VarOut(CF (C, cap),
+    counts))."""
     post = ddc.post_decimation
     pis = ddc.post_input_size
     c = n_channels
@@ -214,9 +267,9 @@ def fastddc_inv_dynamic_block(ddc: FastDDC, n_channels: int):
     def init():
         return (jnp.zeros((c,), jnp.float32), jnp.zeros((c,), jnp.int32))
 
-    def step(state, spectra: CF, taps_eff: CF, fold_perm, dsa_rates):
+    def step(state, spectra: CF, fold_mat: CF, dsa_rates):
         phases, offsets = state
-        td = fastddc_inv_batch(spectra, ddc, taps_eff, fold_perm)
+        td = fastddc_inv_batch_mxu(spectra, ddc, fold_mat)
         b = td.shape[0]
         flat = CF(td.re.transpose(1, 0, 2).reshape(c, b * pis),
                   td.im.transpose(1, 0, 2).reshape(c, b * pis))
@@ -248,12 +301,9 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
                           r, ddc.window) for r in rates]
     for ch in chans:
         assert ch.fft_size == ddc.fft_size and ch.fft_inv_size == ddc.fft_inv_size
-    # side-swapped taps FFT, permuted into fold-slot order (host, once)
-    taps_eff_np = np.stack([
-        channel_taps_fft(ch, r).astype(np.complex64)[make_fold_perm(ch)]
-        for ch, r in zip(chans, rates)])
-    taps_eff = CF(jnp.asarray(taps_eff_np.real), jnp.asarray(taps_eff_np.imag))
-    fold_perm = jnp.asarray(np.stack([raw_gather_perm(ch) for ch in chans]))
+    # dense fold matrix (fft, C*inv), host, once — MXU inverse path
+    fold_np = np.concatenate([channel_matrix(ddc, r) for r in rates], axis=1)
+    fold_mat = CF(jnp.asarray(fold_np.real), jnp.asarray(fold_np.imag))
     post = ddc.post_decimation
     pis = ddc.post_input_size
     c = len(rates)
@@ -267,7 +317,7 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
 
     def apply(state, spectra: CF):
         phases, offsets = state
-        td = fastddc_inv_batch(spectra, ddc, taps_eff, fold_perm)  # (B, C, pis)
+        td = fastddc_inv_batch_mxu(spectra, ddc, fold_mat)  # (B, C, pis)
         b = td.shape[0]
         flat = CF(td.re.transpose(1, 0, 2).reshape(c, b * pis),
                   td.im.transpose(1, 0, 2).reshape(c, b * pis))

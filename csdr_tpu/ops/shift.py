@@ -16,6 +16,7 @@ out = in * (cos(phi) + j*sin(phi)).  Signals are planar CF pairs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,11 +107,20 @@ def decimating_shift_cc(x: CF, rate, decimation, phase=0.0, start_offset=0):
     """
     n_in = x.shape[0]
     cap = (n_in + decimation - 1) // decimation
-    idx = start_offset + decimation * jnp.arange(cap, dtype=jnp.int32)
+    # dynamic START + static STRIDE: a traced gather start makes XLA emit a
+    # full dynamic gather (~100x slower on TPU); dynamic_slice + static
+    # strided slice compiles to cheap copies instead
+    off = jnp.asarray(start_offset, jnp.int32)
+    pad = cap * decimation - n_in + decimation
+    xp_re = jnp.concatenate([x.re, jnp.zeros((pad,), x.re.dtype)])
+    xp_im = jnp.concatenate([x.im, jnp.zeros((pad,), x.im.dtype)])
+    base_re = jax.lax.dynamic_slice_in_dim(xp_re, off, cap * decimation)
+    base_im = jax.lax.dynamic_slice_in_dim(xp_im, off, cap * decimation)
+    idx = off + decimation * jnp.arange(cap, dtype=jnp.int32)
     valid = idx < n_in
-    idx_c = jnp.where(valid, idx, 0)
     from csdr_tpu.core import cplx
-    taken = cplx.where(valid, x[idx_c], CF.scalar(0.0))
+    taken = cplx.where(valid, CF(base_re[::decimation], base_im[::decimation]),
+                       CF.scalar(0.0))
     if isinstance(rate, (int, float)):
         cycles = jnp.asarray(np.mod(np.arange(cap, dtype=np.float64) * np.float64(rate), 1.0).astype(np.float32))
     else:

@@ -83,22 +83,20 @@ class DdcdServer:
         if method == "fastddc":
             self.ddc = fastddc.fastddc_init(transition_bw, decimation)
             self.chunk_in = self.ddc.input_size * frames
-            # host-side channel arrays; row = channel slot
-            t0, p0, r0 = fastddc.channel_arrays(self.ddc, 0.0)
-            self.taps_np = np.zeros((c, self.ddc.fft_size), np.complex64)
-            self.perm_np = np.tile(p0, (c, 1)).astype(np.int32)
+            # host-side fold matrix; column block = channel slot
+            inv = self.ddc.fft_inv_size
+            self.fold_np = np.zeros((self.ddc.fft_size, c * inv), np.complex64)
             self.rate_np = np.zeros((c,), np.float32)
-            self._idle_row = (t0, p0, r0)
+            self._inv_size = inv
 
             fwd = fastddc.fastddc_fwd_block(self.ddc)
             init_inv, step_inv = fastddc.fastddc_inv_dynamic_block(self.ddc, c)
             self.state = (fwd.init(), init_inv())
 
-            def step(state, x, t_re, t_im, perm, rates):
+            def step(state, x, f_re, f_im, rates):
                 fwd_st, inv_st = state
                 fwd_st, spectra = fwd.apply(fwd_st, x)
-                inv_st, out = step_inv(inv_st, spectra, CF(t_re, t_im),
-                                       perm, rates)
+                inv_st, out = step_inv(inv_st, spectra, CF(f_re, f_im), rates)
                 return (fwd_st, inv_st), out.data, out.count
 
             self._step = jax.jit(step)
@@ -162,9 +160,8 @@ class DdcdServer:
         with self.lock:
             self.clients.pop(id(cl), None)
             if self.method == "fastddc":
-                _, p0, _ = self._idle_row
-                self.taps_np[cl.slot] = 0.0       # silence the idle slot
-                self.perm_np[cl.slot] = p0
+                inv = self._inv_size
+                self.fold_np[:, cl.slot * inv:(cl.slot + 1) * inv] = 0.0
             self.rate_np[cl.slot] = 0.0
             self.dirty = True
         cl.stop()
@@ -172,8 +169,10 @@ class DdcdServer:
     def _set_shift_locked(self, slot: int, rate: float):
         if self.method == "fastddc":
             from csdr_tpu.ops import fastddc
-            t, p, r = fastddc.channel_arrays(self.ddc, rate)
-            self.taps_np[slot], self.perm_np[slot] = t, p
+            inv = self._inv_size
+            self.fold_np[:, slot * inv:(slot + 1) * inv] = \
+                fastddc.channel_matrix(self.ddc, rate)
+            _, _, r = fastddc.channel_arrays(self.ddc, rate)
             self.rate_np[slot] = r
         else:
             # reference convention: td method feeds `shift=` straight into
@@ -260,9 +259,8 @@ class DdcdServer:
         with self.lock:
             if self.dirty:
                 if self.method == "fastddc":
-                    self._dev = (jnp.asarray(self.taps_np.real),
-                                 jnp.asarray(self.taps_np.imag),
-                                 jnp.asarray(self.perm_np),
+                    self._dev = (jnp.asarray(self.fold_np.real),
+                                 jnp.asarray(self.fold_np.imag),
                                  jnp.asarray(self.rate_np))
                 else:
                     self._dev = (jnp.asarray(self.rate_np),)

@@ -45,3 +45,49 @@ def test_wfm_bank_time_sharding_matches_single_device():
     a = np.asarray(jax.block_until_ready(step_t(x)))
     b = np.asarray(jax.block_until_ready(step_c(x)))
     assert_snr(b, a, 90, "time-shard vs chan-shard")
+
+
+# ---------------------------------------------------------------------------
+# fastddc channelizer bank (BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+def test_ddc_bank_matches_single_device_inverse():
+    """Sharded channelizer == unsharded fastddc_inv_block on one block."""
+    from csdr_tpu.ops import fastddc as fd
+    from csdr_tpu.parallel import sharded_ddc
+
+    mesh = _mesh(2, 4)
+    step, x, ddc, rates = sharded_ddc.example_ddc_bank(mesh, frames_per_shard=4,
+                                                       c_total=8, decimation=16)
+    out = np.asarray(jax.block_until_ready(step(x)).re) + \
+        1j * np.asarray(step(x).im)
+
+    fwd = fd.fastddc_fwd_block(ddc)
+    inv = fd.fastddc_inv_block(ddc, rates)
+    sf, spectra = fwd.apply(fwd.init(), x)
+    si, vo = inv.apply(inv.init(), spectra)
+    counts = np.asarray(vo.count)
+    ref = np.asarray(vo.data.re) + 1j * np.asarray(vo.data.im)
+    m = out.shape[1]
+    for c in range(8):
+        n = min(int(counts[c]), m)
+        np.testing.assert_allclose(out[c, :n].real, ref[c, :n].real,
+                                   atol=2e-4)
+        np.testing.assert_allclose(out[c, :n].imag, ref[c, :n].imag,
+                                   atol=2e-4)
+
+
+@pytest.mark.parametrize("chan,time", [(1, 8), (4, 2), (8, 1)])
+def test_ddc_bank_mesh_shape_invariance(chan, time):
+    from csdr_tpu.parallel import sharded_ddc
+
+    # fixed global block: 8 * 4 frames worth of input
+    frames_total = 8 * 2
+    step_a, x, ddc, rates = sharded_ddc.example_ddc_bank(
+        _mesh(chan, time), frames_per_shard=frames_total // time, c_total=8)
+    step_b, _, _, _ = sharded_ddc.example_ddc_bank(
+        _mesh(8, 1), frames_per_shard=frames_total, c_total=8)
+    a = jax.block_until_ready(step_a(x))
+    b = jax.block_until_ready(step_b(x))
+    np.testing.assert_allclose(np.asarray(a.re), np.asarray(b.re), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.im), np.asarray(b.im), atol=2e-4)
