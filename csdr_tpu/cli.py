@@ -640,6 +640,27 @@ def _c_pulse(args):
     pump(fir.pulse_shaping_filter_cc_block(kind, sps, ntaps, beta), "c", "c")
 
 
+def _dump_taps_real(taps, octave: bool):
+    """Real tap dump, optionally as an octave plot script
+    (reference csdr.c:1278-1285)."""
+    if octave:
+        print("taps=[" + " ".join(f"{t:g}" for t in taps) +
+              "];plot(taps);figure(2);freqz(taps);")
+    else:
+        print(",".join(f"{t:g}" for t in taps))
+
+
+def _dump_taps_complex(taps, octave: bool):
+    """Complex tap dump; --octave plots the shifted power spectrum
+    (reference csdr.c:1317-1330)."""
+    if octave:
+        print("taps=[" + " ".join(f"({t.real:g})+({t.imag:g})*i" for t in taps)
+              + "];fser=fft(taps);ampl=abs(fser).^2;"
+              "semilogy(fftshift(ampl));")
+    else:
+        print(",".join(f"({t.real:g}{t.imag:+g}j)" for t in taps))
+
+
 @command("firdes_lowpass_f")
 def _c_firdes_lp(args):
     from csdr_tpu import firdes
@@ -647,7 +668,7 @@ def _c_firdes_lp(args):
     length = _i(args, 1)
     win = _window(args, 2)
     taps = firdes.firdes_lowpass_f(length, cutoff, win)
-    print(",".join(f"{t:g}" for t in taps))
+    _dump_taps_real(taps, "--octave" in args)
 
 
 @command("firdes_bandpass_c")
@@ -657,7 +678,7 @@ def _c_firdes_bp(args):
     length = _i(args, 2)
     win = _window(args, 3)
     taps = firdes.firdes_bandpass_c(length, low, high, win)
-    print(",".join(f"({t.real:g}{t.imag:+g}j)" for t in taps))
+    _dump_taps_complex(taps, "--octave" in args)
 
 
 @command("firdes_pulse_shaping_filter_f")
@@ -669,7 +690,7 @@ def _c_firdes_ps(args):
     else:
         sps = _i(args, 1)
         taps = firdes.firdes_cosine_f(2 * sps + 1, sps)
-    print(",".join(f"{t:g}" for t in taps))
+    _dump_taps_real(taps, "--octave" in args)
 
 
 # --- demod / mod --------------------------------------------------------------
@@ -843,7 +864,34 @@ def _c_fft(args):
     n = _i(args, 0)
     every = _i(args, 1)
     win = _window(args, 2)
-    pump(spectrum.fft_cc_block(n, every, win), "c", "c", quantum=every)
+    blk = spectrum.fft_cc_block(n, every, win)
+    if "--octave" in args:
+        # live octave plot script instead of raw spectra
+        # (reference csdr.c:1578-1644 + _fft2octave)
+        import jax
+        print(f'setenv("GNUTERM","X11 noraise");y=zeros(1,{n});'
+              'semilogy(y,"ydatasource","y");')
+        state = blk.init()
+        apply = jax.jit(blk.apply)
+        stdin = sys.stdin.buffer
+        half = n // 2
+        while True:
+            data = stdin.read(8 * every)
+            if len(data) < 8 * every:
+                break
+            iq = np.frombuffer(data, np.float32).reshape(-1, 2)
+            from csdr_tpu.core.cplx import CF
+            import jax.numpy as jnp
+            x = CF(jnp.asarray(iq[:, 0]), jnp.asarray(iq[:, 1]))
+            state, y = apply(state, x)
+            fr = np.stack([np.asarray(y.re), np.asarray(y.im)], -1).reshape(-1, 2)
+            swapped = np.concatenate([fr[half:n], fr[:half]])
+            print("fftdata=[" +
+                  " ".join(f"({i:g})+({q:g})*i" for i, q in swapped) +
+                  "];\ny=abs(fftdata);\nrefreshdata;")
+            sys.stdout.flush()
+        return 0
+    pump(blk, "c", "c", quantum=every)
 
 
 @command("fft_fc")
@@ -1488,7 +1536,7 @@ def _c_firdes_peak(args):
         raise SystemExit("number of symmetric FIR filter taps should be odd")
     win = _window(args, 2)
     taps = firdes.firdes_add_peak_c(length, [rate], win)
-    print(",".join(f"({t.real:g}{t.imag:+g}j)" for t in taps))
+    _dump_taps_complex(taps, "--octave" in args)
 
 
 @command("rtty_line_decoder_u8_u8")

@@ -130,3 +130,14 @@ def test_help_and_search():
     assert b"fastddc_inv_cc" in r.stderr
     r = run(["?shift"])
     assert b"shift_math_cc" in r.stdout
+
+
+def test_checkdocs_every_command_in_readme():
+    """The reference's `make checkdocs` (Makefile:107-111): every CLI
+    command must appear in the README."""
+    from csdr_tpu import cli
+    readme = open(os.path.join(os.path.dirname(__file__), "..",
+                               "README.md")).read()
+    missing = [n for n in cli.REGISTRY if f"`{n}`" not in readme
+               and not n.startswith("-")]
+    assert not missing, f"commands missing from README: {missing}"
