@@ -31,6 +31,32 @@ def _env_bufsize(default: int = 1 << 16) -> int:
     return int(v) if v else default
 
 
+def _dynamic_bufsize_on() -> bool:
+    return os.environ.get("CSDR_DYNAMIC_BUFSIZE_ON", "") not in ("", "0")
+
+
+def getbufsize() -> int:
+    """Read the 8-byte dynamic-bufsize preamble "csdr"+int32 from stdin
+    (reference csdr.c:330-356, README.md:1407-1446)."""
+    pre = sys.stdin.buffer.read(8)
+    if len(pre) < 8 or pre[:4] != b"csdr":
+        raise SystemExit("csdr_tpu: expected dynamic bufsize preamble "
+                         "(upstream process did not send one)")
+    n = int.from_bytes(pre[4:], "little", signed=True)
+    if os.environ.get("CSDR_PRINT_BUFSIZES"):
+        sys.stderr.write(f"{sys.argv[1]}: getbufsize = {n}\n")
+    return n
+
+
+def sendbufsize(n: int):
+    """Write the preamble announcing our output chunk size downstream
+    (reference sendbufsize, csdr.c:358-376)."""
+    sys.stdout.buffer.write(b"csdr" + int(n).to_bytes(4, "little", signed=True))
+    sys.stdout.buffer.flush()
+    if os.environ.get("CSDR_PRINT_BUFSIZES"):
+        sys.stderr.write(f"{sys.argv[1]}: sendbufsize = {n}\n")
+
+
 # ---------------------------------------------------------------------------
 # wire formats
 # ---------------------------------------------------------------------------
@@ -143,7 +169,14 @@ def pump(block, in_fmt: str, out_fmt: str, quantum: int = 1,
     fmts = _mk_fmts()
     fi, fo = fmts[in_fmt], fmts[out_fmt]
     n = chunk or _env_bufsize()
+    if _dynamic_bufsize_on():
+        # 8-byte stream preamble negotiation (csdr.c:325-392): adopt the
+        # upstream chunk size, announce ours downstream.  Our pump
+        # accumulates arbitrary boundaries, so any positive size works.
+        n = max(getbufsize(), quantum)
     n = max(quantum, (n // quantum) * quantum)
+    if _dynamic_bufsize_on():
+        sendbufsize(n)
     state = block.init()
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer
@@ -389,6 +422,8 @@ def _c_passthrough(args, _cmd_holder=[None]):
 def _c_yes(args):
     value = _f(args, 0)
     count = _i(args, 1, 0)  # 0 = infinite
+    if _dynamic_bufsize_on():
+        sendbufsize(65536)  # stream source: announce only
     buf = np.full(65536, value, np.float32).tobytes()
     written = 0
     while count == 0 or written < count:

@@ -141,3 +141,23 @@ def test_checkdocs_every_command_in_readme():
     missing = [n for n in cli.REGISTRY if f"`{n}`" not in readme
                and not n.startswith("-")]
     assert not missing, f"commands missing from README: {missing}"
+
+
+def test_dynamic_bufsize_protocol():
+    """CSDR_DYNAMIC_BUFSIZE_ON: every stage reads/sends the 8-byte
+    "csdr"+int32 preamble (reference csdr.c:325-392)."""
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CSDR_DYNAMIC_BUFSIZE_ON="1")
+    p1 = subprocess.Popen([sys.executable, "-m", "csdr_tpu.cli",
+                           "yes_f", "2.0", "1024"],
+                          stdout=subprocess.PIPE, env=env)
+    p2 = subprocess.run([sys.executable, "-m", "csdr_tpu.cli",
+                         "gain_ff", "3.0"],
+                        stdin=p1.stdout, capture_output=True, env=env,
+                        timeout=300)
+    p1.wait()
+    assert p2.stdout[:4] == b"csdr"
+    n = int.from_bytes(p2.stdout[4:8], "little")
+    assert n > 0
+    y = np.frombuffer(p2.stdout[8:], np.float32)
+    np.testing.assert_allclose(y, 6.0)
