@@ -30,7 +30,7 @@ import numpy as np
 from csdr_tpu import firdes
 from csdr_tpu.core import cplx, fft as cfft
 from csdr_tpu.core.block import Block, VarOut
-from csdr_tpu.core.cplx import CF
+from csdr_tpu.core.cplx import CF, expj
 
 
 @dataclasses.dataclass(frozen=True)
@@ -234,6 +234,39 @@ def fastddc_inv_batch_mxu(spectra: CF, ddc: FastDDC, fold_mat: CF,
     return td[:, :, ddc.scrap:]
 
 
+def channel_fused_matrix(ddc: FastDDC, shift_rate: float):
+    """The WHOLE per-channel inverse as one (fft_size, M) complex matrix G,
+    M = post_input_size / post_decimation (requires pis % post == 0).
+
+    Everything after the forward FFT is linear in the spectrum: taps
+    multiply + bin fold (channel_matrix F), side swap + inverse FFT +
+    overlap-scrap + post-decimation subsampling (a DFT-column selection W),
+    and the within-frame part of the residual-shift NCO (a diagonal B).
+    The frame-dependent NCO part separates into a per-frame scalar A(b):
+
+        out[b, m] = A(b) * (spectra[b] @ G)[m],   G = F @ (W .* B)
+
+    so the 64-channel inverse is ONE MXU matmul per chunk — smaller than F
+    itself (M < inv).  Returns (G complex64, frame_cycles float64) where
+    frame_cycles = frac(M * dsa_rate) advances the per-frame NCO phase.
+    """
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    inv, scrap = ddc.fft_inv_size, ddc.scrap
+    assert pis % post == 0, (pis, post)
+    m = pis // post
+    f = channel_matrix(ddc, shift_rate)                      # (fft, inv)
+    ch = fastddc_init(ddc.transition_bw,
+                      ddc.pre_decimation * ddc.post_decimation,
+                      float(shift_rate), ddc.window)
+    dsa = np.float64(np.float32(ch.post_shift)) * post       # cycles/taken
+    k = np.arange(inv)[:, None]
+    t = scrap + post * np.arange(m)[None, :]
+    w = np.exp(2j * np.pi * (k + inv // 2) * t / inv) / inv  # swap+ifft+sel
+    b = np.exp(2j * np.pi * np.mod(np.arange(m) * dsa, 1.0))  # in-frame NCO
+    g = (f @ (w * b[None, :])).astype(np.complex64)
+    return g, np.mod(m * dsa, 1.0)
+
+
 def channel_arrays(ddc: FastDDC, shift_rate: float):
     """Host-side per-channel arrays for the dynamic inverse: (taps_eff_row
     complex64 (fft,), fold_perm_row int32 (fft,), dsa_rate float32).  A ddcd
@@ -301,6 +334,8 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
                           r, ddc.window) for r in rates]
     for ch in chans:
         assert ch.fft_size == ddc.fft_size and ch.fft_inv_size == ddc.fft_inv_size
+    if ddc.post_input_size % ddc.post_decimation == 0:
+        return _fastddc_inv_fused_block(ddc, rates)
     # dense fold matrix (fft, C*inv), host, once — MXU inverse path
     fold_np = np.concatenate([channel_matrix(ddc, r) for r in rates], axis=1)
     fold_mat = CF(jnp.asarray(fold_np.real), jnp.asarray(fold_np.imag))
@@ -331,5 +366,51 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
         yr, yi, counts, nph, noff = jax.vmap(one)(
             flat.re, flat.im, jnp.asarray(dsa_rates), phases, offsets)
         return (nph, noff), VarOut(CF(yr, yi), counts)
+
+    return Block("fastddc_inv_cc", init, apply)
+
+
+def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
+    """Fused single-matmul inverse (see channel_fused_matrix); used by
+    fastddc_inv_block whenever post_input_size % post_decimation == 0.
+    State: per-channel NCO phase in cycles."""
+    c = len(rates)
+    cols = [channel_fused_matrix(ddc, r) for r in rates]
+    g_np = np.concatenate([g for g, _ in cols], axis=1)     # (fft, C*M)
+    frame_cyc = np.asarray([fc for _, fc in cols], np.float64)  # (C,)
+    g = CF(jnp.asarray(g_np.real), jnp.asarray(g_np.imag))
+    m = ddc.post_input_size // ddc.post_decimation
+
+    ramp_cache: dict[int, tuple] = {}
+
+    def _ramps(b: int):
+        # NOTE: cache NUMPY arrays (safe to embed as constants in any trace);
+        # caching jnp arrays created inside a trace leaks tracers
+        if b not in ramp_cache:
+            # exact f64 per-frame NCO cycles, and the per-chunk advance
+            r = np.mod(np.arange(b)[None, :] * frame_cyc[:, None], 1.0)
+            ramp_cache[b] = (r.astype(np.float32),
+                             np.mod(b * frame_cyc, 1.0).astype(np.float32))
+        return ramp_cache[b]
+
+    def init():
+        return jnp.zeros((c,), jnp.float32)   # phase per channel, cycles
+
+    def apply(phases, spectra: CF):
+        b = spectra.shape[0]
+        ramp, adv = _ramps(b)
+        dot = lambda a, mm: jnp.dot(a, mm, precision=jax.lax.Precision.HIGH,
+                                    preferred_element_type=jnp.float32)
+        zr = dot(spectra.re, g.re) - dot(spectra.im, g.im)   # (b, C*M)
+        zi = dot(spectra.re, g.im) + dot(spectra.im, g.re)
+        zr = zr.reshape(b, c, m).transpose(1, 0, 2)          # (C, b, M)
+        zi = zi.reshape(b, c, m).transpose(1, 0, 2)
+        ph = 2.0 * np.pi * ((phases[:, None] + ramp) % 1.0)
+        rot = expj(ph)                                       # (C, b)
+        yr = zr * rot.re[:, :, None] - zi * rot.im[:, :, None]
+        yi = zr * rot.im[:, :, None] + zi * rot.re[:, :, None]
+        out = CF(yr.reshape(c, b * m), yi.reshape(c, b * m))
+        counts = jnp.full((c,), b * m, jnp.int32)
+        return (phases + adv) % 1.0, VarOut(out, counts)
 
     return Block("fastddc_inv_cc", init, apply)

@@ -51,49 +51,70 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
     n_time = mesh.shape["time"]
     assert c_total % n_chan == 0, (c_total, n_chan)
 
-    # host-side per-channel fold-matrix blocks (the MXU inverse) stacked on
-    # a leading channel axis so the 'chan' mesh axis shards them
-    fold_np = np.stack([fd.channel_matrix(ddc, float(r)) for r in rates])
-    dsa_np = np.asarray([fd.channel_arrays(ddc, float(r))[2] for r in rates],
-                        np.float64)                           # cycles/taken
-
     ov = ddc.overlap_length
     ins = ddc.input_size
     pis = ddc.post_input_size
     post = ddc.post_decimation
+    fused = pis % post == 0
+
+    if fused:
+        # fused single-matmul inverse (ops/fastddc.channel_fused_matrix):
+        # G stacked on a leading channel axis so 'chan' shards it
+        cols = [fd.channel_fused_matrix(ddc, float(r)) for r in rates]
+        fold_np = np.stack([g for g, _ in cols])              # (C, fft, M)
+        cyc_np = np.asarray([fc for _, fc in cols], np.float64)  # /frame
+    else:
+        fold_np = np.stack([fd.channel_matrix(ddc, float(r)) for r in rates])
+        cyc_np = np.asarray([fd.channel_arrays(ddc, float(r))[2]
+                             for r in rates], np.float64)     # /taken sample
 
     ramp_cache: dict[int, tuple] = {}
 
-    def _nco_tables(m_local: int):
-        """Exact per-channel NCO ramps over one shard's m_local outputs."""
-        if m_local not in ramp_cache:
-            k = np.arange(m_local, dtype=np.float64)
-            ramp = np.mod(k[None, :] * dsa_np[:, None], 1.0).astype(np.float32)
-            c1 = np.mod(m_local * dsa_np, 1.0).astype(np.float32)
-            ramp_cache[m_local] = (jnp.asarray(ramp), jnp.asarray(c1))
-        return ramp_cache[m_local]
+    def _nco_tables(k_local: int):
+        """Exact per-channel NCO ramps over one shard's k_local units
+        (frames when fused, taken samples otherwise)."""
+        if k_local not in ramp_cache:
+            k = np.arange(k_local, dtype=np.float64)
+            ramp = np.mod(k[None, :] * cyc_np[:, None], 1.0).astype(np.float32)
+            c1 = np.mod(k_local * cyc_np, 1.0).astype(np.float32)
+            # numpy, not jnp: jnp arrays created inside a trace leak tracers
+            ramp_cache[k_local] = (ramp, c1)
+        return ramp_cache[k_local]
 
     def shard_fn(x_re, x_im, f_re, f_im, ramp, c1):
         nl = x_re.shape[0]
         assert nl % ins == 0, f"shard samples {nl} % input_size {ins} != 0"
         b = nl // ins
         assert (b * pis) % post == 0, (b, pis, post)
-        m = b * pis // post
         halo = hx.halo_from_left(CF(x_re, x_im), ov, "time")
         frames = fd.overlap_frames(CF(x_re, x_im), halo, ins, ov)  # (B_l, fft)
         spectra = cfft.fft(frames)
         cl = f_re.shape[0]                                # local channels
+        tidx_f = jax.lax.axis_index("time").astype(jnp.float32)
+        cycles = (tidx_f * c1[:, None] + ramp) % 1.0
+        rot = cplx.expj(TWO_PI * cycles)
+        if fused:
+            m = pis // post
+            g = CF(f_re.transpose(1, 0, 2).reshape(ddc.fft_size, cl * m),
+                   f_im.transpose(1, 0, 2).reshape(ddc.fft_size, cl * m))
+            dot = lambda a, mm: jnp.dot(a, mm,
+                                        precision=jax.lax.Precision.HIGH,
+                                        preferred_element_type=jnp.float32)
+            zr = dot(spectra.re, g.re) - dot(spectra.im, g.im)  # (B_l, Cl*M)
+            zi = dot(spectra.re, g.im) + dot(spectra.im, g.re)
+            zr = zr.reshape(b, cl, m).transpose(1, 0, 2)        # (Cl, B_l, M)
+            zi = zi.reshape(b, cl, m).transpose(1, 0, 2)
+            # rot: per-frame NCO (Cl, B_l)
+            yr = zr * rot.re[:, :, None] - zi * rot.im[:, :, None]
+            yi = zr * rot.im[:, :, None] + zi * rot.re[:, :, None]
+            return yr.reshape(cl, b * m), yi.reshape(cl, b * m)
         fold_local = CF(f_re.transpose(1, 0, 2).reshape(ddc.fft_size, -1),
                         f_im.transpose(1, 0, 2).reshape(ddc.fft_size, -1))
         td = fd.fastddc_inv_batch_mxu(spectra, ddc, fold_local)
         flat = CF(td.re.transpose(1, 0, 2).reshape(cl, b * pis),
                   td.im.transpose(1, 0, 2).reshape(cl, b * pis))
         taken = CF(flat.re[:, ::post], flat.im[:, ::post])    # (C_l, m)
-        tidx_f = jax.lax.axis_index("time").astype(jnp.float32)
-        cycles = (tidx_f * c1[:, None] + ramp) % 1.0
-        ph = TWO_PI * cycles
-        rot = cplx.expj(ph)
-        y = taken * rot
+        y = taken * rot                                       # per-sample NCO
         return y.re, y.im
 
     fn = jax.shard_map(
@@ -109,8 +130,9 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
     @jax.jit
     def step(x: CF):
         nl = x.shape[0] // n_time
-        m_local = (nl // ins) * pis // post
-        ramp, c1 = _nco_tables(m_local)
+        b_local = nl // ins
+        k_local = b_local if fused else b_local * pis // post
+        ramp, c1 = _nco_tables(k_local)
         yr, yi = fn(x.re, x.im, fold_eff.re, fold_eff.im, ramp, c1)
         return CF(yr, yi)
 

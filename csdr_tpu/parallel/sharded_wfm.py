@@ -97,7 +97,9 @@ def build_wfm_bank_step(mesh: Mesh, chan_rates: np.ndarray, taps: np.ndarray,
             ramp = np.mod(k[None, :] * r, 1.0).astype(np.float32)        # (C, n_ext)
             c1 = np.mod(nl * r[:, 0], 1.0).astype(np.float32)            # (C,)
             c2 = np.mod(-tail_ext * r[:, 0], 1.0).astype(np.float32)     # (C,)
-            ramp_cache[nl] = (jnp.asarray(ramp), jnp.asarray(c1), jnp.asarray(c2))
+            # cache NUMPY (safe as trace constants); jnp arrays created
+            # inside a trace would leak tracers on re-trace
+            ramp_cache[nl] = (ramp, c1, c2)
         return ramp_cache[nl]
 
     def shard_fn(x_re, x_im, ramp_l, c1_l, c2_l):

@@ -23,7 +23,8 @@ def test_init_math_matches_reference(d, rate):
     assert abs(ours.pre_shift - ref.pre_shift) < 1e-6
 
 
-@pytest.mark.parametrize("d,rate", [(8, 0.1), (4, -0.2), (16, 0.05)])
+@pytest.mark.parametrize("d,rate", [(8, 0.1), (4, -0.2), (16, 0.05),
+                                    (20, -0.15), (50, 0.2)])
 def test_fastddc_stream_matches_reference(d, rate):
     ddc = fastddc.fastddc_init(0.05, d, rate)
     nframes = 6
