@@ -188,10 +188,17 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
     t = taps.shape[0]
     if (t + d - 1) // d <= 24:
         return fir_decimate_pallas_or_fallback(xcat, taps, d, kout, precision)
-    if kout % 128 == 0 and xcat.shape[0] >= (kout - 1) * d + t:
-        # W must be built from CONCRETE taps (host-side); taps captured as a
-        # constant in the enclosing trace are still concrete here.
-        w = _toeplitz_w(np.asarray(taps), d, 128)
-        yr, yi = _fir_decimate_toeplitz(xcat.re, xcat.im, w, d, kout, precision)
-        return CF(yr, yi)
-    return fir_decimate_cc(xcat, taps, d, precision)[:kout]
+    # round kout up to the Toeplitz kernel's 128-row tile, zero-padding the
+    # input as needed: the padded tail costs <1 tile of work, while the
+    # conv fallback for a ragged kout is ~100x slower at long taps
+    kout_pad = -(-kout // 128) * 128
+    need = (kout_pad - 1) * d + t
+    if xcat.shape[0] < need:
+        pad = need - xcat.shape[0]
+        xcat = CF(jnp.concatenate([xcat.re, jnp.zeros((pad,), xcat.re.dtype)]),
+                  jnp.concatenate([xcat.im, jnp.zeros((pad,), xcat.im.dtype)]))
+    # W must be built from CONCRETE taps (host-side); taps captured as a
+    # constant in the enclosing trace are still concrete here.
+    w = _toeplitz_w(np.asarray(taps), d, 128)
+    yr, yi = _fir_decimate_toeplitz(xcat.re, xcat.im, w, d, kout_pad, precision)
+    return CF(yr[:kout], yi[:kout])

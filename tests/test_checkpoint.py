@@ -1,0 +1,74 @@
+"""Checkpoint/resume: snapshot a receiver's carry mid-stream, resume in a
+fresh pipeline object, outputs must be bit-identical to the uninterrupted
+run (SURVEY.md §5.4 — the carry IS the stream history)."""
+
+import os
+import tempfile
+
+import jax
+import numpy as np
+
+from csdr_tpu.core import checkpoint
+from csdr_tpu.core.cplx import CF
+from csdr_tpu.models import wfm
+
+
+def _tone_fm(n, fs=240_000):
+    t = np.arange(n) / fs
+    audio = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    phase = 2 * np.pi * np.cumsum(audio) * 75_000 / fs
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+def test_checkpoint_resume_bit_identical():
+    iq = _tone_fm(4 * 24_000)
+    blocks = np.split(iq, 4)
+
+    pipe = wfm.wfm_basic()
+    apply = jax.jit(pipe.apply)
+
+    def dev(b):
+        return CF(jax.numpy.asarray(b.real), jax.numpy.asarray(b.imag))
+
+    def host(y):
+        # VarOut -> valid samples
+        return np.asarray(y.data)[: int(np.asarray(y.count))]
+
+    # uninterrupted run
+    st = pipe.init()
+    outs = []
+    for b in blocks:
+        st, y = apply(st, dev(b))
+        outs.append(host(y))
+
+    # run 2 blocks, checkpoint, resume in a FRESH pipeline
+    st = pipe.init()
+    for b in blocks[:2]:
+        st, _ = apply(st, dev(b))
+    path = tempfile.mktemp(suffix=".npz")
+    try:
+        checkpoint.save_state(path, st)
+        pipe2 = wfm.wfm_basic()
+        apply2 = jax.jit(pipe2.apply)
+        # steady-state template: some blocks size their state lazily on the
+        # first apply, so run one dummy chunk to get the full structure
+        like, _ = apply2(pipe2.init(), dev(blocks[0]))
+        st2 = checkpoint.load_state(path, like)
+        for i, b in enumerate(blocks[2:]):
+            st2, y = apply2(st2, dev(b))
+            np.testing.assert_array_equal(host(y), outs[2 + i])
+    finally:
+        os.unlink(path)
+
+
+def test_checkpoint_shape_mismatch_fails_loudly():
+    import pytest
+    pipe = wfm.wfm_basic()
+    st = pipe.init()
+    path = tempfile.mktemp(suffix=".npz")
+    try:
+        checkpoint.save_state(path, st)
+        with pytest.raises(ValueError):
+            checkpoint.load_state(path, (st, st))  # wrong structure
+    finally:
+        os.unlink(path)
