@@ -159,10 +159,12 @@ def strip_ctl_args(argv):
 # ---------------------------------------------------------------------------
 
 def pump(block, in_fmt: str, out_fmt: str, quantum: int = 1,
-         chunk: int | None = None, on_chunk=None):
+         chunk: int | None = None, on_chunk=None, jit: bool = True):
     """Generic fread->apply->fwrite loop.  quantum: chunk must be a multiple
     (decimation factors, frame sizes...).  on_chunk(state) -> state lets the
-    caller apply FIFO retunes between chunks."""
+    caller apply FIFO retunes between chunks.  jit=False for blocks with
+    host-side per-chunk effects (fresh PRNG seeds, file reads): a jitted
+    apply would bake them in at trace time."""
     import jax
     from csdr_tpu.core.block import VarOut
 
@@ -182,7 +184,7 @@ def pump(block, in_fmt: str, out_fmt: str, quantum: int = 1,
     stdout = sys.stdout.buffer
     bytes_per = np.dtype(fi.dtype).itemsize * fi.per_sample
     pending = b""
-    apply = jax.jit(block.apply)
+    apply = jax.jit(block.apply) if jit else block.apply
     eof = False
     while not eof:
         want = n * bytes_per - len(pending)
@@ -1329,20 +1331,60 @@ def _c_patsearch(args):
 
 @command("awgn_cc")
 def _c_awgn(args):
+    """<snr_db> [--awgnfile <f>] [--snrshow]: add AWGN at the reference's
+    amplitude split; --awgnfile replays recorded noise for reproducible
+    tests, --snrshow prints the measured SNR (csdr.c:3035-3091)."""
     from csdr_tpu.core.block import Block
     from csdr_tpu.ops import noise
     snr = _f(args, 0)
-    seed_box = {"n": 0}
+    snrshow = "--snrshow" in args
+    awgn_data = None
+    if "--awgnfile" in args:
+        path = args[args.index("--awgnfile") + 1]
+        raw = np.fromfile(path, np.float32)
+        awgn_data = raw.reshape(-1, 2)
+    r = 10.0 ** (snr / 20.0)
+    a_signal = r / (r + 1.0)
+    a_noise = 0.707 / (r + 1.0)
+    sys.stderr.write(f"awgn_cc: a_signal = {a_signal:f}, "
+                     f"a_noise = {a_noise / 0.707:f}\n")
+    seed_box = {"n": 0, "pos": 0}
 
     def init():
         return None
 
-    def apply(state, x):
-        y = noise.awgn_cc(x, snr, seed=seed_box["n"])
-        seed_box["n"] += 1
-        return state, y
+    def _file_noise(n):
+        from csdr_tpu.core.cplx import CF
+        import jax.numpy as jnp
+        out = np.empty((n, 2), np.float32)
+        pos = seed_box["pos"]
+        total = len(awgn_data)
+        got = 0
+        while got < n:
+            take = min(n - got, total - pos)
+            out[got:got + take] = awgn_data[pos:pos + take]
+            pos = (pos + take) % total
+            got += take
+        seed_box["pos"] = pos
+        return CF(jnp.asarray(out[:, 0]), jnp.asarray(out[:, 1]))
 
-    pump(Block("awgn", init, apply), "c", "c")
+    def apply(state, x):
+        from csdr_tpu.core.cplx import CF
+        if awgn_data is None:
+            nz = noise.gaussian_noise_c(x.shape[0], seed_box["n"])
+            seed_box["n"] += 1
+        else:
+            nz = _file_noise(x.shape[0])
+        sig = CF(x.re * a_signal, x.im * a_signal)
+        nza = CF(nz.re * a_noise, nz.im * a_noise)
+        if snrshow:
+            import jax.numpy as jnp
+            ps = 10.0 * np.log10(float(jnp.mean(sig.re**2 + sig.im**2)) + 1e-30)
+            pn = 10.0 * np.log10(float(jnp.mean(nza.re**2 + nza.im**2)) + 1e-30)
+            sys.stderr.write(f"awgn_cc: SNR = {ps - pn:f} dB\n")
+        return state, CF(sig.re + nza.re, sig.im + nza.im)
+
+    pump(Block("awgn", init, apply), "c", "c", jit=False)
 
 
 @command("uniform_noise_f")

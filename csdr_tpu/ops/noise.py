@@ -29,10 +29,12 @@ def gaussian_noise_c(n: int, seed: int = 0) -> CF:
 
 def awgn_cc(x: CF, snr_db: float, seed: int = 0) -> CF:
     """Add noise at given SNR with the reference's amplitude split
-    (csdr.c:3050-3052): r = 10^(snr/20); out = x*r/(r+1) + noise*1/(r+1)."""
+    (csdr.c:3050-3052): r = 10^(snr/20); out = x*r/(r+1) + noise/(r+1),
+    noise scaled by a further 0.707 per component (csdr.c:3080) so the
+    COMPLEX noise power equals a_noise^2."""
     r = 10.0 ** (snr_db / 20.0)
     a_signal = r / (r + 1.0)
-    a_noise = 1.0 / (r + 1.0)
+    a_noise = 0.707 / (r + 1.0)
     nz = gaussian_noise_c(x.shape[0], seed)
     return CF(x.re * a_signal + nz.re * a_noise,
               x.im * a_signal + nz.im * a_noise)
