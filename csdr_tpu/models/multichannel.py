@@ -1,0 +1,117 @@
+"""Flagship multichannel pipeline — BASELINE config 5: a 64-channel fastddc
+FFT channelizer feeding per-channel BPSK31 Gardner symbol recovery + DBPSK
+decode, channels sharded across a device mesh.
+
+TPU design: the channelizer runs channel x time sharded
+(parallel/sharded_ddc.py, fused single-matmul inverse); the per-channel
+modem (the reference RX chain of grc_tests/bpsk31_ber.py:16-26 —
+timing_recovery_cc GARDNER + dbpsk_decoder_c_u8) is a lax.scan over symbol
+slots, vmapped over the LOCAL channel rows inside a 'chan'-sharded
+shard_map.  Between the two stages the channel streams are resharded from
+P('chan','time') to P('chan', None): an all_gather along 'time' of the
+already-decimated (tiny) channel streams, the corner turn the reference's
+ddcd performs with per-client pipes (ddcd_old.h:59-61).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from csdr_tpu.core.cplx import CF
+from csdr_tpu.ops import digital, fastddc as fd, sync
+from csdr_tpu.parallel import sharded_ddc
+
+
+def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
+                          sps: int = 256):
+    """Returns (init, step): step(state, x CF wideband P('time')) ->
+    (state', (bits (C, cap) u8, counts (C,))).
+
+    shift_rates: per-channel `shift=` rates (reference convention: mix by
+    +rate, so a channel centered at -rate comes to baseband).  sps: modem
+    samples/symbol at the decimated rate (must be divisible by 4).
+    """
+    ddc = fd.fastddc_init(0.05, decimation)
+    bank_step, meta = sharded_ddc.build_ddc_bank_step(mesh, ddc, shift_rates)
+    c_total = len(shift_rates)
+    n_chan = mesh.shape["chan"]
+
+    tr = sync.timing_recovery_block("GARDNER", sps, loop_gain=0.5,
+                                    max_error=2.0, use_q=True)
+
+    def modem_one(state, ch_re, ch_im):
+        """One channel: gardner -> dbpsk (symbols -> bits)."""
+        tr_state, last = state
+        tr_state, syms = tr.apply(tr_state, CF(ch_re, ch_im))
+        sym = syms.data
+        bits, new_last = digital.dbpsk_decoder_c_u8(sym, last)
+        # first decoded bit of the stream pairs with the zero-init last
+        # sample; the count excludes nothing — caller aligns, as in the
+        # reference BER harness (+-5 byte search, bpsk31_ber.py:35-42)
+        return (tr_state, new_last), bits, syms.count
+
+    def modem_shard(st_buf_re, st_buf_im, st_occ, st_corr, st_last_re,
+                    st_last_im, y_re, y_im):
+        def one(bre, bim, occ, corr, lre, lim, cre, cim):
+            state = ((CF(bre, bim), occ, corr), CF(lre, lim))
+            (trs, last), bits, count = modem_one(state, cre, cim)
+            buf, occ2, corr2 = trs
+            return (buf.re, buf.im, occ2, corr2, last.re, last.im, bits,
+                    count)
+        return jax.vmap(one)(st_buf_re, st_buf_im, st_occ, st_corr,
+                             st_last_re, st_last_im, y_re, y_im)
+
+    modem_fn = jax.shard_map(
+        modem_shard, mesh=mesh,
+        in_specs=(P("chan"), P("chan"), P("chan"), P("chan"),
+                  P("chan"), P("chan"), P("chan", None), P("chan", None)),
+        out_specs=(P("chan"), P("chan"), P("chan"), P("chan"),
+                   P("chan"), P("chan"), P("chan", None), P("chan")),
+        check_vma=False)
+
+    def init(n_wideband: int):
+        """n_wideband: wideband chunk length (per step), to size the modem
+        input buffers: m = per-channel samples per chunk."""
+        ins, pis, post = meta["input_size"], meta["post_input"], meta["post"]
+        m = (n_wideband // ins) * pis // post
+        sh = NamedSharding(mesh, P("chan"))
+        def put(a):
+            return jax.device_put(a, sh)
+        trs = tr.init(m)
+        buf, occ, corr = trs
+        return (put(jnp.tile(buf.re[None, :], (c_total, 1))),
+                put(jnp.tile(buf.im[None, :], (c_total, 1))),
+                put(jnp.tile(occ[None], (c_total,))),
+                put(jnp.tile(corr[None], (c_total,))),
+                put(jnp.zeros((c_total,), jnp.float32)),   # dbpsk last re
+                put(jnp.zeros((c_total,), jnp.float32)))   # dbpsk last im
+
+    @jax.jit
+    def step(state, x: CF):
+        y = bank_step(x)                                   # (C, m) chan,time
+        # corner turn: gather each channel's full (decimated) stream
+        y = CF(jax.lax.with_sharding_constraint(
+                   y.re, NamedSharding(mesh, P("chan", None))),
+               jax.lax.with_sharding_constraint(
+                   y.im, NamedSharding(mesh, P("chan", None))))
+        (bre, bim, occ, corr, lre, lim, bits, counts) = modem_fn(
+            *state, y.re, y.im)
+        return (bre, bim, occ, corr, lre, lim), (bits, counts)
+
+    return init, step, meta
+
+
+def example_flagship(mesh: Mesh, frames_per_shard: int = 4, c_total: int = 8,
+                     decimation: int = 16, sps: int = 256):
+    """Build + example input for compile checks / dryrun."""
+    rng = np.random.default_rng(3)
+    rates = rng.uniform(-0.35, 0.35, c_total)
+    init, step, meta = build_ddc_bpsk31_bank(mesh, rates, decimation, sps)
+    n = mesh.shape["time"] * frames_per_shard * meta["input_size"]
+    x = CF(jnp.asarray(rng.standard_normal(n), jnp.float32),
+           jnp.asarray(rng.standard_normal(n), jnp.float32))
+    state = init(n)
+    return state, step, x, rates

@@ -181,8 +181,10 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
     err_sign = -1.0 if gardner else 1.0
     margin = 4 * nsb
 
-    def init():
-        return None  # lazy: buffer sized from first chunk
+    def init(n: int | None = None):
+        # lazy by default (buffer sized from the first chunk); pass the
+        # chunk size n for an explicit state, e.g. to vmap over channels
+        return None if n is None else _mk(n)
 
     def _mk(n):
         return (CF.zeros((n + margin,)), jnp.int32(0), jnp.int32(0))

@@ -1,0 +1,85 @@
+"""Flagship config-5 end-to-end test: C BPSK31 transmissions at different
+center frequencies mixed into ONE wideband stream; the channel x time
+sharded fastddc bank + vmapped Gardner/DBPSK modem must recover every
+channel's bits (models/multichannel.py) on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from csdr_tpu.core.cplx import CF
+from csdr_tpu.models import bpsk31, multichannel
+from csdr_tpu.ops import fastddc as fd
+
+
+def _mesh(chan, time):
+    devs = np.array(jax.devices()[: chan * time]).reshape(chan, time)
+    return Mesh(devs, ("chan", "time"))
+
+
+def _align_errs(a, b, window=6):
+    best = None
+    for shift in range(-window, window):
+        x, y = a, b
+        if shift < 0:
+            x = np.concatenate([np.zeros(-shift, np.uint8), x])
+        elif shift > 0:
+            y = np.concatenate([np.zeros(shift, np.uint8), y])
+        m = min(len(x), len(y))
+        errs = int(np.sum(x[:m] != y[:m]))
+        if best is None or errs < best[0]:
+            best = (errs, m)
+    return best
+
+
+def test_flagship_multichannel_bpsk31():
+    decim = 16
+    sps = 64                      # samples/symbol at the channel rate
+    c_total = 4
+    mesh = _mesh(2, 4)
+    rng = np.random.default_rng(9)
+    centers = np.array([-0.3, -0.1, 0.15, 0.35])
+
+    # per-channel TX at the WIDEBAND rate: interpolation sps*decim, then
+    # shift to each channel's center
+    texts = [bytes(f"CHANNEL {i} DE CSDR_TPU PSE K ".encode()) * 4
+             for i in range(c_total)]
+    tx_bits, wide = [], None
+    nmin = None
+    basebands = []
+    for t in texts:
+        bits, bb = bpsk31.tx_chain(t, interpolation=sps * decim)
+        tx_bits.append(np.asarray(bits))
+        basebands.append(bb)
+        nmin = bb.shape[0] if nmin is None else min(nmin, bb.shape[0])
+
+    ddc = fd.fastddc_init(0.05, decim)
+    ins = ddc.input_size
+    n_time = mesh.shape["time"]
+    # chunk: one step; trim to a whole number of frames per shard
+    n = (nmin // (ins * n_time)) * ins * n_time
+    k = np.arange(n)
+    acc = np.zeros(n, np.complex64)
+    for bb, f in zip(basebands, centers):
+        z = (np.asarray(bb.re[:n]) + 1j * np.asarray(bb.im[:n]))
+        acc += (z * np.exp(2j * np.pi * f * k)).astype(np.complex64)
+    acc += 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+
+    init, step, meta = multichannel.build_ddc_bpsk31_bank(
+        mesh, [-f for f in centers], decim, sps)
+    state = init(n)
+    sh = NamedSharding(mesh, P("time"))
+    x = CF(jax.device_put(jnp.asarray(acc.real.astype(np.float32)), sh),
+           jax.device_put(jnp.asarray(acc.imag.astype(np.float32)), sh))
+    state, (bits, counts) = jax.block_until_ready(step(state, x))
+    bits = np.asarray(bits)
+    counts = np.asarray(counts)
+
+    for c in range(c_total):
+        got = bits[c, : counts[c]]
+        # drop the modem's start-up symbols (timing acquisition)
+        errs, total = _align_errs(tx_bits[c][8:], got[8:])
+        assert total > 200, (c, total)
+        ber = errs / total
+        assert ber < 0.02, (c, ber, errs, total)
