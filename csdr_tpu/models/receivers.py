@@ -33,26 +33,41 @@ def nfm_receiver(decimation: int = 50, transition_bw: float = 0.05,
 
 
 def ssb_receiver(low_cut: float = 0.0, high_cut: float = 0.1,
-                 transition_bw: float = 0.01, agc_on: bool = True) -> Pipeline:
-    """BASELINE config 4 (README.md:110-112 SSB recipe):
-    bandpass_fir_fft_cc low high bw | realpart_cf | agc_ff | (gain)
-    Chunk sizes must be multiples of the block's ``input_size``."""
+                 transition_bw: float = 0.05, decimation: int = 50,
+                 front_bw: float = 0.005, agc_on: bool = True,
+                 use_pallas: bool = True) -> Pipeline:
+    """BASELINE config 4, the reference's full SSB chain (README.md:110):
+    fir_decimate_cc 50 | bandpass_fir_fft_cc 0 0.1 | realpart_cf | agc_ff
+    | limit_ff.  The decimator runs the 2.4 Msps front end on the MXU; the
+    per-sample agc_ff scan then only sees the 48 ksps audio rate — exactly
+    the reference's own placement (per-sample feedback loops are ~1 Msps on
+    TPU, so they belong at decimated rates; SURVEY.md §7 hard parts #2).
+    Chunk sizes must be multiples of decimation * the bandpass input_size.
+    """
+    front = firdes.firdes_lowpass_f(firdes.firdes_filter_len(front_bw),
+                                    0.5 / decimation)
     bp = fftfilt.bandpass_fir_fft_block(low_cut, high_cut, transition_bw)
-    blocks = [bp, stateless("realpart_cf", demod.realpart_cf)]
+    blocks = [
+        fir.fir_decimate_block(front, decimation, use_pallas=use_pallas),
+        bp,
+        stateless("realpart_cf", demod.realpart_cf),
+    ]
     if agc_on:
         blocks.append(agc.agc_block())
+    blocks.append(stateless("limit_ff", lambda x: util_ops.limit_ff(x, 1.0)))
     return Pipeline(blocks, name="ssb")
 
 
-def am_receiver(decimation: int = 10, transition_bw: float = 0.05,
-                use_pallas: bool = True) -> Pipeline:
-    """AM envelope receiver (README.md:97-100):
-    fir_decimate_cc D | amdemod_cf | dcblock_ff | agc_ff"""
-    taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(transition_bw),
+def am_receiver(decimation: int = 50, transition_bw: float = 0.05,
+                front_bw: float = 0.005, use_pallas: bool = True) -> Pipeline:
+    """The reference's AM chain (README.md:95):
+    fir_decimate_cc 50 | amdemod_cf | fastdcblock_ff | agc_ff | limit_ff."""
+    taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(front_bw),
                                    0.5 / decimation)
     return Pipeline([
         fir.fir_decimate_block(taps, decimation, use_pallas=use_pallas),
         stateless("amdemod_cf", demod.amdemod_cf),
-        util_ops.dcblock_block(),
+        util_ops.fastdcblock_block(),
         agc.agc_block(),
+        stateless("limit_ff", lambda x: util_ops.limit_ff(x, 1.0)),
     ], name="am")

@@ -144,7 +144,7 @@ def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.
         jnp.int32(0),
     )
     # reference skips sample 0: output[0] = last_gain*input[0]
-    carry, y_rest = jax.lax.scan(step, init_carry, x[1:])
+    carry, y_rest = jax.lax.scan(step, init_carry, x[1:], unroll=32)
     y0 = jnp.asarray(last_gain, jnp.float32) * x[0]
     y = jnp.concatenate([jnp.reshape(y0, (1,)), y_rest])
     return y, carry[0]

@@ -77,18 +77,33 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
         wh = where + k * jnp.float32(rate)
         index_high = jnp.ceil(wh).astype(jnp.int32)
         valid = index_high + p + t_len < size
-        fd_low = index_high - 1
-        xwhere = wh - fd_low.astype(jnp.float32)
-        # Lagrange coefficients: c[:, i] = prod_{j != i} (xwhere - xs[j])
-        diff = xwhere[:, None] - jnp.asarray(xs_np)[None, :]        # (cap, P)
-        cols = []
-        for i in range(p):
-            mask = np.ones(p, bool)
-            mask[i] = False
-            cols.append(jnp.prod(diff[:, mask], axis=1))
-        coeffs = jnp.stack(cols, axis=1) / den[None, :]
-        gidx = jnp.clip(fd_low[:, None] + jnp.arange(p)[None, :], 0, pre.shape[0] - 1)
-        y = jnp.sum(coeffs * pre[gidx], axis=1).astype(jnp.float32)
+        if float(rate).is_integer():
+            # integer rate: wh stays integer (where starts integer and
+            # count*rate is integer), so xwhere == 1 and the Lagrange
+            # weights are EXACTLY one-hot (integer products in f32) —
+            # y[k] = pre[wh[k] - xifirst].  dynamic_slice + static stride
+            # replaces the (cap, P) gather, which is pathologically slow
+            # on TPU (same fix as ops/shift.decimating_shift_cc).
+            r_int = int(rate)
+            s0 = jnp.ceil(where).astype(jnp.int32) - xifirst
+            pre_pad = jnp.concatenate(
+                [pre, jnp.zeros((cap * r_int,), pre.dtype)])
+            base = jax.lax.dynamic_slice(pre_pad, (s0,), (cap * r_int,))
+            y = base[::r_int]
+        else:
+            fd_low = index_high - 1
+            xwhere = wh - fd_low.astype(jnp.float32)
+            # Lagrange coefficients: c[:, i] = prod_{j != i} (xwhere - xs[j])
+            diff = xwhere[:, None] - jnp.asarray(xs_np)[None, :]    # (cap, P)
+            cols = []
+            for i in range(p):
+                mask = np.ones(p, bool)
+                mask[i] = False
+                cols.append(jnp.prod(diff[:, mask], axis=1))
+            coeffs = jnp.stack(cols, axis=1) / den[None, :]
+            gidx = jnp.clip(fd_low[:, None] + jnp.arange(p)[None, :], 0,
+                            pre.shape[0] - 1)
+            y = jnp.sum(coeffs * pre[gidx], axis=1).astype(jnp.float32)
         y = jnp.where(valid, y, 0.0)
         count = jnp.sum(valid.astype(jnp.int32))
         # loop-exit carry (reference libcsdr.c:789-792): input_processed is

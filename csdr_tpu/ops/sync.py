@@ -61,7 +61,7 @@ def pll_cc(x: CF, alpha: float, beta: float | None = None,
         return (output_phase, dphase, iir), (-dphase, nco_re, nco_im)
 
     init = tuple(jnp.float32(v) for v in state)
-    carry, (dph, nr, ni) = jax.lax.scan(step, init, jnp.stack([x.re, x.im], axis=1))
+    carry, (dph, nr, ni) = jax.lax.scan(step, init, jnp.stack([x.re, x.im], axis=1), unroll=32)
     return dph, CF(nr, ni), carry
 
 
@@ -135,7 +135,7 @@ def bpsk_costas_loop_cc(x: CF, alpha, beta, dphase_max,
 
     init = tuple(jnp.float32(v) for v in state)
     carry, (yr, yi, err, dph) = jax.lax.scan(
-        step, init, jnp.stack([x.re, x.im], axis=1))
+        step, init, jnp.stack([x.re, x.im], axis=1), unroll=32)
     return CF(yr, yi), err, dph, carry
 
 

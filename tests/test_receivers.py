@@ -33,21 +33,24 @@ def test_nfm_receiver_recovers_tone():
 
 
 def test_ssb_receiver_recovers_tone():
-    # USB: a 0.02-rate tone appears at +0.02 in the passband [0, 0.1]
-    n = 1 << 16
-    tone = np.exp(1j * 2 * np.pi * 0.02 * np.arange(n)).astype(np.complex64)
-    pipe = receivers.ssb_receiver(0.0, 0.1, 0.05, agc_on=False)
-    ins = pipe.blocks[0].input_size
-    nn = (n // ins) * ins
-    y = _run(pipe, tone[:nn], ins)
+    # full reference chain: decimate-50 front end, then USB bandpass.
+    # a 0.0005-rate input tone lands at +0.025 in the decimated passband
+    d = 50
+    pipe = receivers.ssb_receiver(0.0, 0.1, 0.05, decimation=d,
+                                  agc_on=False, use_pallas=False)
+    ins = d * pipe.blocks[1].input_size
+    n = ins * max(1, (1 << 20) // ins)
+    tone = np.exp(1j * 2 * np.pi * 0.0005 * np.arange(n)).astype(np.complex64)
+    y = _run(pipe, tone, ins)
     seg = y[2000:]
     spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
-    peak = np.argmax(spec) / len(seg)
-    assert abs(peak - 0.02) < 0.002, peak
-    # and a tone outside the passband is rejected
-    tone2 = np.exp(-1j * 2 * np.pi * 0.2 * np.arange(n)).astype(np.complex64)
-    y2 = _run(pipe, tone2[:nn], ins)
-    assert np.abs(y2[2000:]).mean() < 0.01 * np.abs(y[2000:]).mean()
+    peak = np.argmax(spec) / len(seg)       # rfft bin k -> rate k/n
+    assert abs(peak - 0.0005 * d) < 0.002, peak
+    # a tone at -0.004 passes the front lowpass (cutoff 0.01) but lands at
+    # -0.2 after decimation: outside the USB passband -> rejected
+    tone2 = np.exp(-1j * 2 * np.pi * 0.004 * np.arange(n)).astype(np.complex64)
+    y2 = _run(pipe, tone2, ins)
+    assert np.abs(y2[2000:]).mean() < 0.02 * np.abs(y[2000:]).mean()
 
 
 def test_am_receiver_recovers_envelope():
