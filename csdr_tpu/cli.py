@@ -239,6 +239,14 @@ def main(argv=None):
         from math import pi, sin, cos, log10, sqrt  # noqa: F401
         print(eval(cmd[1:] + "".join(argv[2:])))
         return 0
+    if cmd.startswith("??"):
+        # docs lookup (reference csdr.c:3604-3612 opens the README anchor)
+        pat = cmd[2:]
+        hits = [n for n in sorted(REGISTRY) if pat in n]
+        if hits:
+            print("https://github.com/ha7ilm/csdr/blob/master/README.md#"
+                  + hits[0])
+        return 0
     if cmd.startswith("?"):
         pat = cmd[1:]
         for name in sorted(REGISTRY):
