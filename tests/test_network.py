@@ -174,3 +174,109 @@ def test_ddcd_two_clients(method):
     finally:
         proc.terminate()
         proc.wait(timeout=15)
+
+
+def test_ddcd_live_retune():
+    """Mid-stream `shift=` retune must move the channel (the traced-args
+    fold-matrix update path — no recompile)."""
+    port = _free_port()
+    decim = 16
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port", str(port),
+         "--decimation", str(decim), "--method", "fastddc", "--frames", "4",
+         "--max_channels", "2"],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+    try:
+        deadline = time.time() + 60
+        while True:
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=2)
+                break
+            except OSError:
+                assert time.time() < deadline
+                time.sleep(0.2)
+                assert proc.poll() is None
+        c.sendall(b"shift=-0.11\n")
+        time.sleep(0.3)
+        x = _tone_mix(1 << 18, (0.11, -0.27), (1.0, 1.0))
+        wire = np.stack([x.real, x.imag], -1).astype(np.float32).tobytes()
+        half = len(wire) // 2
+
+        def feed(data):
+            proc.stdin.write(data)
+            proc.stdin.flush()
+
+        threading.Thread(target=feed, args=(wire[:half],), daemon=True).start()
+        d1 = _recv_n(c, 4096 * 8, timeout=120)
+        y1 = np.frombuffer(d1, np.float32)
+        y1 = (y1[0::2] + 1j * y1[1::2])[512:]
+        s1 = np.abs(np.fft.fft(y1 * np.hanning(len(y1))))
+        p1 = np.fft.fftfreq(len(y1))[np.argmax(s1)]
+        assert abs(p1) < 0.02, p1            # tuned to the +0.11 tone
+
+        # retune to the other tone mid-stream
+        c.sendall(b"shift=0.27\n")
+        time.sleep(0.5)
+
+        def feed2():
+            try:
+                proc.stdin.write(wire[half:])
+                proc.stdin.close()
+            except OSError:
+                pass
+
+        threading.Thread(target=feed2, daemon=True).start()
+        # skip the transition chunk, then expect the -0.27 tone at baseband
+        _ = _recv_n(c, 4096 * 8, timeout=120)
+        d2 = _recv_n(c, 4096 * 8, timeout=120)
+        y2 = np.frombuffer(d2, np.float32)
+        y2 = (y2[0::2] + 1j * y2[1::2])[512:]
+        s2 = np.abs(np.fft.fft(y2 * np.hanning(len(y2))))
+        p2 = np.fft.fftfreq(len(y2))[np.argmax(s2)]
+        assert abs(p2) < 0.02, p2
+        c.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=15)
+
+
+def test_ddcd_bypass():
+    """`bypass=1` switches the client to the raw wideband stream."""
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port", str(port),
+         "--decimation", "16", "--method", "fastddc", "--frames", "4",
+         "--max_channels", "2"],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+    try:
+        deadline = time.time() + 60
+        while True:
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=2)
+                break
+            except OSError:
+                assert time.time() < deadline
+                time.sleep(0.2)
+                assert proc.poll() is None
+        c.sendall(b"bypass=1\n")
+        time.sleep(0.3)
+        x = _tone_mix(16 * 896 * 8, (0.11,), (1.0,))
+        wire = np.stack([x.real, x.imag], -1).astype(np.float32).tobytes()
+
+        def feed():
+            try:
+                proc.stdin.write(wire)
+                proc.stdin.close()
+            except OSError:
+                pass
+
+        threading.Thread(target=feed, daemon=True).start()
+        chunk = 16 * 896 * 4 * 8      # one server chunk of raw bytes
+        d = _recv_n(c, chunk, timeout=120)
+        assert d == wire[:chunk]      # raw wideband passthrough, bit-exact
+        c.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=15)
