@@ -543,3 +543,61 @@ def rtty_baudot_decoder_push(symbols):
         if ch != b"\x00":
             out.append(ch)
     return b"".join(out)
+
+
+def amdemod_estimator_cf(x, alpha=0.947543636291, beta=0.392485425092):
+    l_ = lib()
+    xi = as_cf(x)
+    out = np.zeros(len(x), np.float32)
+    l_.amdemod_estimator_cf.argtypes = [f32p, f32p, ctypes.c_int,
+                                        ctypes.c_float, ctypes.c_float]
+    l_.amdemod_estimator_cf(xi, out, len(x), alpha, beta)
+    return out
+
+
+def deemphasis_nfm_ff(x, sample_rate):
+    l_ = lib()
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.zeros(len(x), np.float32)
+    l_.deemphasis_nfm_ff.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int]
+    l_.deemphasis_nfm_ff.restype = ctypes.c_int
+    n = l_.deemphasis_nfm_ff(x, out, len(x), sample_rate)
+    return out[:n]
+
+
+def fmmod_fc(x, last_phase=0.0):
+    l_ = lib()
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.zeros(2 * len(x), np.float32)
+    l_.fmmod_fc.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_float]
+    l_.fmmod_fc.restype = ctypes.c_float
+    ph = l_.fmmod_fc(x, out, len(x), last_phase)
+    return out.view(np.complex64), ph
+
+
+def apply_fir_cc(x, taps):
+    l_ = lib()
+    xi = as_cf(x)
+    t = as_cf(np.ascontiguousarray(taps, np.complex64))
+    out = np.zeros(2 * len(x), np.float32)
+    l_.apply_fir_cc.argtypes = [f32p, f32p, ctypes.c_int, f32p, ctypes.c_int]
+    l_.apply_fir_cc.restype = ctypes.c_int
+    n = l_.apply_fir_cc(xi, out, len(x), t, len(taps))
+    return out.view(np.complex64)[:n]
+
+
+def firdes_rrc_f(length, samples_per_symbol, beta):
+    l_ = lib()
+    out = np.zeros(length, np.float32)
+    l_.firdes_rrc_f.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_float]
+    l_.firdes_rrc_f(out, length, samples_per_symbol, beta)
+    return out
+
+
+def firdes_cosine_f(length, samples_per_symbol):
+    l_ = lib()
+    out = np.zeros(length, np.float32)
+    l_.firdes_cosine_f.argtypes = [f32p, ctypes.c_int, ctypes.c_int]
+    l_.firdes_cosine_f(out, length, samples_per_symbol)
+    return out
