@@ -99,11 +99,32 @@ def bench_ref_fastddc(decimation=16, n_frames=16, iters=3):
         return None
 
 
+def bench_tpu_wfm(n=2_400_000):
+    """End-to-end WFM advanced receiver (BASELINE config 2)."""
+    from csdr_tpu.core import cplx
+    from csdr_tpu.models import wfm
+    from csdr_tpu.utils.timing import time_kernel
+
+    rng = np.random.default_rng(0)
+    x = cplx.from_numpy((rng.standard_normal(n) +
+                         1j * rng.standard_normal(n)).astype(np.complex64))
+    pipe = wfm.wfm_advanced(shift_rate=-0.2)
+    st = pipe.init()
+    per = time_kernel(lambda x: pipe.apply(st, x)[1].data, x)
+    return n / per / 1e6
+
+
 def main():
     tpu = bench_tpu_fir_decimate()
     ref = bench_ref_fir_decimate()
     vs = (tpu / ref) if ref else None
     # secondary metrics -> stderr (driver records the single stdout line)
+    wfm_msps = bench_tpu_wfm()
+    sys.stderr.write(json.dumps({
+        "metric": "WFM advanced receiver end-to-end",
+        "value": round(wfm_msps, 1), "unit": "complex Msamples/s/chip",
+        "x_realtime_2p4Msps": round(wfm_msps / 2.4, 0),
+    }) + "\n")
     ddc_tpu = bench_tpu_fastddc()
     ddc_ref1 = bench_ref_fastddc()
     # the reference serves 64 channels with 1 fwd + 64 inv processes; its
