@@ -230,7 +230,8 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
             return (bs, cr, valid), (out[0], out[1], out[2], out[3], valid)
 
         (bitstart, corr, _), (yr, yi, errs, idxs, valids) = jax.lax.scan(
-            step, (jnp.int32(0), corr0, jnp.bool_(True)), None, length=cap)
+            step, (jnp.int32(0), corr0, jnp.bool_(True)), None, length=cap,
+            unroll=8)
         count = jnp.sum(valids.astype(jnp.int32))
         # consume bitstart samples (reference input_processed, :2068-2070)
         new_occ = size - bitstart
