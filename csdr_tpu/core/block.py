@@ -19,7 +19,7 @@ shapes static under jit (SURVEY.md §7 "shape discipline").
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Sequence
+from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ synchronizes to the host at the edges.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Optional
-
 import jax
 import numpy as np
 

@@ -10,7 +10,6 @@ RX: timing_recovery_cc GARDNER 256 0.5 2 --add_q | dbpsk_decoder_c_u8
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from csdr_tpu.core import cplx
 from csdr_tpu.core.cplx import CF

@@ -4,11 +4,9 @@ AM — composed exactly like the reference command pipelines (README.md:85-124).
 
 from __future__ import annotations
 
-import numpy as np
-
 from csdr_tpu import firdes
 from csdr_tpu.core.block import Pipeline, stateless
-from csdr_tpu.ops import agc, demod, fastddc, fftfilt, fir, util_ops
+from csdr_tpu.ops import agc, demod, fftfilt, fir, util_ops
 
 
 def nfm_receiver(decimation: int = 50, transition_bw: float = 0.05,

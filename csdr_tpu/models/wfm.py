@@ -11,11 +11,10 @@ Config 2 (advanced, 2.4 Msps front end):
 
 from __future__ import annotations
 
-import numpy as np
 
 from csdr_tpu import firdes
-from csdr_tpu.core.block import Pipeline, stateless
-from csdr_tpu.ops import convert, demod, fir, resamp, shift
+from csdr_tpu.core.block import Pipeline
+from csdr_tpu.ops import demod, fir, resamp, shift
 
 
 def wfm_basic(samp_rate: int = 240_000, audio_rate: int = 48_000,

@@ -10,7 +10,6 @@ the wire, so byte-domain functions take the interleaved view and the
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from csdr_tpu.core.cplx import CF
 

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from csdr_tpu.core.block import Block, VarOut
-from csdr_tpu.core import cplx
 from csdr_tpu.core.cplx import CF
 
 # Reference scaling constant (libcsdr.c:1020-1021):

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from csdr_tpu.core.block import Block, VarOut
+from csdr_tpu.core.block import VarOut
 from csdr_tpu.core.cplx import CF, expj
 from csdr_tpu.ops._varicode_table import VARICODE
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from csdr_tpu import firdes
-from csdr_tpu.core import cplx, fft as cfft
+from csdr_tpu.core import fft as cfft
 from csdr_tpu.core.block import Block, VarOut
 from csdr_tpu.core.cplx import CF, expj
 

@@ -7,7 +7,6 @@ first-class: every source takes a seed (JAX threefry PRNG).
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

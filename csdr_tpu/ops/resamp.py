@@ -10,7 +10,6 @@ carry (libcsdr.h:151-170) as a pytree.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from csdr_tpu.core.block import Block
 from csdr_tpu.core import cplx

@@ -21,12 +21,10 @@ sharded over 'time'.  Output: (C, N/(D1*D2)) audio, sharded over both.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from csdr_tpu.core.cplx import CF
 from csdr_tpu.ops.demod import FMDEMOD_QUADRI_K
