@@ -26,13 +26,18 @@ from csdr_tpu.parallel import sharded_ddc
 
 
 def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
-                          sps: int = 256):
+                          sps: int = 256, use_costas: bool = False,
+                          costas_bw: float = 2 * np.pi / 100):
     """Returns (init, step): step(state, x CF wideband P('time')) ->
     (state', (bits (C, cap) u8, counts (C,))).
 
     shift_rates: per-channel `shift=` rates (reference convention: mix by
     +rate, so a channel centered at -rate comes to baseband).  sps: modem
     samples/symbol at the decimated rate (must be divisible by 4).
+    use_costas: run a per-channel BPSK Costas loop before the Gardner TED
+    (carrier recovery for mistuned channels — config 5's "Costas/Gardner").
+    The Costas scan runs per channel sample, so enable it at low channel
+    rates; the DBPSK decode itself needs no carrier lock.
     """
     ddc = fd.fastddc_init(0.05, decimation)
     bank_step, meta = sharded_ddc.build_ddc_bank_step(mesh, ddc, shift_rates)
@@ -41,10 +46,23 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
 
     tr = sync.timing_recovery_block("GARDNER", sps, loop_gain=0.5,
                                     max_error=2.0, use_q=True)
+    if use_costas:
+        cl_alpha, cl_beta, cl_dmax = sync.costas_loop_params(costas_bw)
 
     def modem_one(state, ch_re, ch_im):
-        """One channel: gardner -> dbpsk (symbols -> bits)."""
+        """One channel: (costas ->) gardner -> dbpsk (symbols -> bits)."""
         tr_state, last = state
+        if use_costas:
+            (tr_state, costas_state) = tr_state
+            y, _e, _d, costas_state = sync.bpsk_costas_loop_cc(
+                CF(ch_re, ch_im), cl_alpha, cl_beta, cl_dmax,
+                state=costas_state)
+            ch_re, ch_im = y.re, y.im
+            tr_state, syms = tr.apply(tr_state, CF(ch_re, ch_im))
+            tr_state = (tr_state, costas_state)
+            sym = syms.data
+            bits, new_last = digital.dbpsk_decoder_c_u8(sym, last)
+            return (tr_state, new_last), bits, syms.count
         tr_state, syms = tr.apply(tr_state, CF(ch_re, ch_im))
         sym = syms.data
         bits, new_last = digital.dbpsk_decoder_c_u8(sym, last)
@@ -53,23 +71,41 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
         # reference BER harness (+-5 byte search, bpsk31_ber.py:35-42)
         return (tr_state, new_last), bits, syms.count
 
-    def modem_shard(st_buf_re, st_buf_im, st_occ, st_corr, st_last_re,
-                    st_last_im, y_re, y_im):
-        def one(bre, bim, occ, corr, lre, lim, cre, cim):
-            state = ((CF(bre, bim), occ, corr), CF(lre, lim))
-            (trs, last), bits, count = modem_one(state, cre, cim)
-            buf, occ2, corr2 = trs
-            return (buf.re, buf.im, occ2, corr2, last.re, last.im, bits,
-                    count)
-        return jax.vmap(one)(st_buf_re, st_buf_im, st_occ, st_corr,
-                             st_last_re, st_last_im, y_re, y_im)
+    # state layout: 6 base arrays (TED buffer re/im, occ, corr, dbpsk last
+    # re/im) + 3 costas scalars per channel when enabled; every array has a
+    # leading channel axis so P('chan') shards them all
+    n_state = 9 if use_costas else 6
+
+    def _pack(trs, last):
+        if use_costas:
+            ted, costas = trs
+            return (ted[0].re, ted[0].im, ted[1], ted[2], last.re, last.im,
+                    *costas)
+        return (trs[0].re, trs[0].im, trs[1], trs[2], last.re, last.im)
+
+    def _unpack(sa):
+        ted = (CF(sa[0], sa[1]), sa[2], sa[3])
+        last = CF(sa[4], sa[5])
+        if use_costas:
+            return ((ted, (sa[6], sa[7], sa[8])), last)
+        return (ted, last)
+
+    def modem_shard(*args):
+        st, (y_re, y_im) = args[:n_state], args[n_state:]
+
+        def one(*a):
+            state = _unpack(a[:n_state])
+            (trs, last), bits, count = modem_one(state, a[n_state],
+                                                 a[n_state + 1])
+            return _pack(trs, last) + (bits, count)
+
+        return jax.vmap(one)(*st, y_re, y_im)
 
     modem_fn = jax.shard_map(
         modem_shard, mesh=mesh,
-        in_specs=(P("chan"), P("chan"), P("chan"), P("chan"),
-                  P("chan"), P("chan"), P("chan", None), P("chan", None)),
-        out_specs=(P("chan"), P("chan"), P("chan"), P("chan"),
-                   P("chan"), P("chan"), P("chan", None), P("chan")),
+        in_specs=tuple([P("chan")] * n_state
+                       + [P("chan", None), P("chan", None)]),
+        out_specs=tuple([P("chan")] * n_state + [P("chan", None), P("chan")]),
         check_vma=False)
 
     def init(n_wideband: int):
@@ -78,16 +114,21 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
         ins, pis, post = meta["input_size"], meta["post_input"], meta["post"]
         m = (n_wideband // ins) * pis // post
         sh = NamedSharding(mesh, P("chan"))
+
         def put(a):
             return jax.device_put(a, sh)
-        trs = tr.init(m)
-        buf, occ, corr = trs
-        return (put(jnp.tile(buf.re[None, :], (c_total, 1))),
-                put(jnp.tile(buf.im[None, :], (c_total, 1))),
-                put(jnp.tile(occ[None], (c_total,))),
-                put(jnp.tile(corr[None], (c_total,))),
-                put(jnp.zeros((c_total,), jnp.float32)),   # dbpsk last re
-                put(jnp.zeros((c_total,), jnp.float32)))   # dbpsk last im
+
+        buf, occ, corr = tr.init(m)
+        state = [put(jnp.tile(buf.re[None, :], (c_total, 1))),
+                 put(jnp.tile(buf.im[None, :], (c_total, 1))),
+                 put(jnp.tile(occ[None], (c_total,))),
+                 put(jnp.tile(corr[None], (c_total,))),
+                 put(jnp.zeros((c_total,), jnp.float32)),   # dbpsk last re
+                 put(jnp.zeros((c_total,), jnp.float32))]   # dbpsk last im
+        if use_costas:
+            state += [put(jnp.zeros((c_total,), jnp.float32))
+                      for _ in range(3)]   # nco_phase, freq, dphase
+        return tuple(state)
 
     @jax.jit
     def step(state, x: CF):
@@ -97,9 +138,8 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
                    y.re, NamedSharding(mesh, P("chan", None))),
                jax.lax.with_sharding_constraint(
                    y.im, NamedSharding(mesh, P("chan", None))))
-        (bre, bim, occ, corr, lre, lim, bits, counts) = modem_fn(
-            *state, y.re, y.im)
-        return (bre, bim, occ, corr, lre, lim), (bits, counts)
+        out = modem_fn(*state, y.re, y.im)
+        return tuple(out[:n_state]), (out[n_state], out[n_state + 1])
 
     return init, step, meta
 
