@@ -180,7 +180,12 @@ def _toeplitz_w(taps: np.ndarray, d: int, r: int):
 def fir_decimate_best(xcat, taps, decimation: int, kout: int,
                       precision=jax.lax.Precision.HIGHEST):
     """Kernel dispatch by regime: VPU polyphase (memory-bound, short taps)
-    vs MXU Toeplitz matmul (compute-bound, long taps).  Crossover ~ T/D=24."""
+    vs MXU Toeplitz matmul (compute-bound, long taps).  Crossover ~ T/D=24.
+
+    precision: HIGHEST (default) holds ~128 dB SNR vs the reference C and
+    hits ~20 Gsps at 1023 taps; Precision.HIGH is ~43% faster (~28 Gsps)
+    at ~98 dB SNR — use it when the pipeline tolerates bf16x3 accumulation.
+    """
     from csdr_tpu.core.cplx import CF
     from csdr_tpu.ops.fir import fir_decimate_cc
 

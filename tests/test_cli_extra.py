@@ -161,3 +161,37 @@ def test_dynamic_bufsize_protocol():
     assert n > 0
     y = np.frombuffer(p2.stdout[8:], np.float32)
     np.testing.assert_allclose(y, 6.0)
+
+
+def test_waterfall_composite_chain():
+    """The OpenWebRX waterfall transport chain as shell stages:
+    fft_cc | logaveragepower_cf | fft_exchange_sides_ff |
+    compress_fft_adpcm_f_u8 — composite CLI round-trip with a tone, decoded
+    back through the ADPCM codec to check the spectral peak lands in the
+    right (side-exchanged) bin."""
+    import subprocess
+    fft_n, every, avg = 256, 256, 4
+    n = fft_n * avg * 4
+    x = np.exp(2j * np.pi * 0.125 * np.arange(n)).astype(np.complex64)
+    wire = np.stack([x.real, x.imag], -1).astype(np.float32).tobytes()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def stage(cmd, data):
+        r = subprocess.run([sys.executable, "-m", "csdr_tpu.cli"] + cmd,
+                           input=data, capture_output=True, timeout=300,
+                           env=env)
+        assert r.returncode == 0, r.stderr.decode()[-400:]
+        return r.stdout
+
+    spec = stage(["fft_cc", str(fft_n), str(every)], wire)
+    logavg = stage(["logaveragepower_cf", "0", str(fft_n), str(avg)], spec)
+    swapped = stage(["fft_exchange_sides_ff", str(fft_n)], logavg)
+    packed = stage(["compress_fft_adpcm_f_u8", str(fft_n)], swapped)
+    assert len(packed) > 0
+    # decode one compressed row back (codec pads COMPRESS_FFT_PAD_N=10)
+    row = stage(["decode_ima_adpcm_u8_s16"], packed[: (fft_n + 10) // 2])
+    vals = np.frombuffer(row, np.int16)[10:]
+    assert len(vals) == fft_n
+    # tone at +0.125 -> after fftshift it sits at bin n/2 + n/8
+    peak = int(np.argmax(vals))
+    assert abs(peak - (fft_n // 2 + fft_n // 8)) <= 1, peak
