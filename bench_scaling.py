@@ -56,12 +56,19 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu for virtual mesh)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize() "
+                         "(set JAX coordinator env vars / run under the pod "
+                         "launcher); the mesh then spans all hosts' devices "
+                         "and the halo ppermutes ride ICI/DCN")
     ap.add_argument("--bank", choices=["ddc", "wfm"], default="ddc")
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--frames", type=int, default=256,
                     help="fastddc frames per time-shard (reduce on cpu)")
     args = ap.parse_args(argv)
     import jax
+    if args.distributed:
+        jax.distributed.initialize()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     from jax.sharding import Mesh
@@ -92,7 +99,8 @@ def main(argv=None):
             # speed up, so efficiency here only validates the rig runs;
             # real numbers require a multi-chip slice
             rec["note"] = "virtual cpu mesh - rig validation only"
-        print(json.dumps(rec))
+        if jax.process_index() == 0:
+            print(json.dumps(rec))
         sys.stdout.flush()
     return 0
 
