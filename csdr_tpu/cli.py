@@ -1079,14 +1079,44 @@ def _c_ddcinv(args):
         bw = float(a[2]) if len(a) > 2 else 0.05
         win = _window(a, 3)
     ddc = fastddc.fastddc_init(bw, d, rate, win)
-    blk = fastddc.fastddc_inv_block(ddc, [rate])
+    # dynamic inverse: the fold matrix is a traced argument, so a FIFO
+    # retune (reference csdr.c:2308-2339 re-enters fastddc_init) is a host
+    # recompute + transfer with NO recompilation
+    init_inv, step_inv = fastddc.fastddc_inv_dynamic_block(ddc, 1)
+    import jax
+    import jax.numpy as jnp
+    step_inv = jax.jit(step_inv)   # fold matrix is an ARG: no retrace on retune
+    box = {}
+
+    def set_rate(r):
+        import numpy as np_
+        ch = fastddc.fastddc_init(bw, d, r, win)
+        f = fastddc.channel_matrix(ddc, r)
+        box["fold"] = (jnp.asarray(f.real), jnp.asarray(f.imag))
+        box["dsa"] = jnp.asarray(
+            [np_.float32(ch.post_shift) * ddc.post_decimation], jnp.float32)
+
+    set_rate(rate)
 
     def apply(state, x):
+        from csdr_tpu.core.cplx import CF
         spectra = x.reshape(-1, ddc.fft_size)
-        state, out = blk.apply(state, spectra)
+        state, out = step_inv(state, spectra, CF(*box["fold"]), box["dsa"])
         return state, VarOut(out.data[0], out.count[0])
 
-    pump(Block("ddcinv", blk.init, apply), "c", "c", quantum=ddc.fft_size)
+    def on_chunk(state):
+        line = ctl.poll()
+        if line:
+            try:
+                new_rate = float(line)
+                sys.stderr.write(f"fastddc_inv: retuned to {new_rate}\n")
+                set_rate(new_rate)
+            except ValueError:
+                pass
+        return state
+
+    pump(Block("ddcinv", init_inv, apply), "c", "c", quantum=ddc.fft_size,
+         on_chunk=on_chunk, jit=False)
 
 
 # --- digital / modem -------------------------------------------------------------

@@ -195,3 +195,74 @@ def test_waterfall_composite_chain():
     # tone at +0.125 -> after fftshift it sits at bin n/2 + n/8
     peak = int(np.argmax(vals))
     assert abs(peak - (fft_n // 2 + fft_n // 8)) <= 1, peak
+
+
+def test_fastddc_inv_live_fifo_retune():
+    """fastddc_inv_cc --fifo: retune mid-stream (reference csdr.c:2308-2339)
+    via the dynamic fold-matrix path — output must follow the new channel."""
+    import subprocess
+    import tempfile
+    import threading
+    import time as _time
+    fifo = tempfile.mktemp()
+    os.mkfifo(fifo)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    n = 16 * 896 * 8
+    k = np.arange(n)
+    x = (np.exp(2j * np.pi * 0.11 * k) +
+         np.exp(-2j * np.pi * 0.27 * k)).astype(np.complex64)
+    p1 = subprocess.run(
+        [sys.executable, "-m", "csdr_tpu.cli", "fastddc_fwd_cc", "16"],
+        input=np.stack([x.real, x.imag], -1).astype(np.float32).tobytes(),
+        capture_output=True, timeout=300, env=env)
+    spec = p1.stdout
+    half = len(spec) // 2
+    half -= half % (1024 * 8)
+    p2 = subprocess.Popen(
+        [sys.executable, "-m", "csdr_tpu.cli", "fastddc_inv_cc",
+         "--fifo", fifo, "16"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, env=env)
+    try:
+        wfd = os.open(fifo, os.O_WRONLY)
+        os.write(wfd, b"-0.11\n")
+        chunks = []
+
+        def reader():
+            while True:
+                d = p2.stdout.read1(1 << 16)   # read1: don't block for fill
+                if not d:
+                    break
+                chunks.append(d)
+
+        rt = threading.Thread(target=reader, daemon=True)
+        rt.start()
+        p2.stdin.write(spec[:half])
+        p2.stdin.flush()
+        deadline = _time.time() + 240
+        while sum(map(len, chunks)) == 0:
+            assert _time.time() < deadline, "no output from first half"
+            _time.sleep(0.5)
+        _time.sleep(2)
+        n_first = sum(map(len, chunks))
+        os.write(wfd, b"0.27\n")
+        _time.sleep(1)
+        p2.stdin.write(spec[half:])
+        p2.stdin.close()
+        p2.wait(timeout=300)
+        rt.join(timeout=30)
+        y = np.frombuffer(b"".join(chunks), np.float32)
+        y = y[0::2] + 1j * y[1::2]
+        m1 = n_first // 8
+
+        def peak(seg):
+            s = np.abs(np.fft.fft(seg * np.hanning(len(seg))))
+            return np.fft.fftfreq(len(seg))[np.argmax(s)]
+
+        assert len(y) - m1 > 2048, (len(y), m1)
+        assert abs(peak(y[256:m1])) < 0.02          # tuned to +0.11 tone
+        assert abs(peak(y[m1 + 1024:])) < 0.02      # retuned to -0.27 tone
+        os.close(wfd)
+    finally:
+        p2.kill()
+        os.unlink(fifo)
