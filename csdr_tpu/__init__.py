@@ -11,11 +11,14 @@ with collective halo exchange replacing the reference's memmove-overlap
 
 Block naming follows the reference CLI (README.md:126-153): ``_ff`` float in /
 float out, ``_cc`` complex in/out, ``_cf`` complex in / float out, etc.
-Complex streams are jnp.complex64 arrays instead of interleaved float pairs.
+Complex streams are planar float32 pairs (``core.cplx.CF``) — the axon TPU
+backend has no complex dtype, and planar layout is what the VPU/MXU want.
 """
 
 from csdr_tpu import firdes
-from csdr_tpu.core.block import Block, Pipeline, stateless
+from csdr_tpu.core.block import Block, Pipeline, VarOut, stateless
+from csdr_tpu.core.checkpoint import load_state, save_state
+from csdr_tpu.core.cplx import CF
 from csdr_tpu.core.stream import StreamRunner, run_offline
 
 __version__ = "0.1.0"
@@ -24,8 +27,12 @@ __all__ = [
     "firdes",
     "Block",
     "Pipeline",
+    "VarOut",
+    "CF",
     "stateless",
     "StreamRunner",
     "run_offline",
+    "save_state",
+    "load_state",
     "__version__",
 ]
