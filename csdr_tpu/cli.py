@@ -837,7 +837,10 @@ def _c_agc(args):
             i += 2
         else:
             i += 1
-    pump(agc.agc_block(**kw), "f", "f")
+    # chunked (waveform-relaxation) agc supports attack_wait_time=0 only;
+    # fall back to the bit-faithful scan otherwise
+    method = "scan" if kw.get("attack_wait_time", 0) else "chunked"
+    pump(agc.agc_block(method=method, **kw), "f", "f")
 
 
 @command("fastagc_ff")
