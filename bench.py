@@ -71,12 +71,15 @@ def bench_tpu_fastddc(decimation=16, channels=64, frames=1024):
            jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)))
     s0 = (fwd.init(), inv.init())
 
-    def kernel(x):
-        _, spectra = fwd.apply(s0[0], x)
-        _, out = inv.apply(s0[1], spectra)
+    # the inverse state carries the (large) fold/G matrix; pass it as an
+    # ARGUMENT — a closed-over device array lowers as a program constant
+    def kernel(arg):
+        s, x = arg
+        _, spectra = fwd.apply(s[0], x)
+        _, out = inv.apply(s[1], spectra)
         return out.data
 
-    per = time_kernel(kernel, x)
+    per = time_kernel(kernel, (s0, x))
     return n / per / 1e6
 
 

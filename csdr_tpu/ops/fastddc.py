@@ -336,9 +336,11 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
         assert ch.fft_size == ddc.fft_size and ch.fft_inv_size == ddc.fft_inv_size
     if ddc.post_input_size % ddc.post_decimation == 0:
         return _fastddc_inv_fused_block(ddc, rates)
-    # dense fold matrix (fft, C*inv), host, once — MXU inverse path
+    # dense fold matrix (fft, C*inv), host, once — MXU inverse path.
+    # NOTE the matrix rides in the STATE pytree, not the closure: a
+    # closed-over array lowers as a compile-time constant shipped with the
+    # program, which at C=64, D=50 is ~270 MB and breaks remote compilation
     fold_np = np.concatenate([channel_matrix(ddc, r) for r in rates], axis=1)
-    fold_mat = CF(jnp.asarray(fold_np.real), jnp.asarray(fold_np.imag))
     post = ddc.post_decimation
     pis = ddc.post_input_size
     c = len(rates)
@@ -348,10 +350,11 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
 
     def init():
         return (jnp.zeros((c,), jnp.float32),      # starting_phase per channel
-                jnp.zeros((c,), jnp.int32))        # decimation_remain per channel
+                jnp.zeros((c,), jnp.int32),        # decimation_remain per channel
+                CF(jnp.asarray(fold_np.real), jnp.asarray(fold_np.imag)))
 
     def apply(state, spectra: CF):
-        phases, offsets = state
+        phases, offsets, fold_mat = state
         td = fastddc_inv_batch_mxu(spectra, ddc, fold_mat)  # (B, C, pis)
         b = td.shape[0]
         flat = CF(td.re.transpose(1, 0, 2).reshape(c, b * pis),
@@ -365,7 +368,7 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
 
         yr, yi, counts, nph, noff = jax.vmap(one)(
             flat.re, flat.im, jnp.asarray(dsa_rates), phases, offsets)
-        return (nph, noff), VarOut(CF(yr, yi), counts)
+        return (nph, noff, fold_mat), VarOut(CF(yr, yi), counts)
 
     return Block("fastddc_inv_cc", init, apply)
 
@@ -378,7 +381,6 @@ def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
     cols = [channel_fused_matrix(ddc, r) for r in rates]
     g_np = np.concatenate([g for g, _ in cols], axis=1)     # (fft, C*M)
     frame_cyc = np.asarray([fc for _, fc in cols], np.float64)  # (C,)
-    g = CF(jnp.asarray(g_np.real), jnp.asarray(g_np.imag))
     m = ddc.post_input_size // ddc.post_decimation
 
     ramp_cache: dict[int, tuple] = {}
@@ -394,9 +396,14 @@ def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
         return ramp_cache[b]
 
     def init():
-        return jnp.zeros((c,), jnp.float32)   # phase per channel, cycles
+        # the G matrix rides in the state pytree (argument), NOT the
+        # closure: closed-over arrays lower as compile-time constants and
+        # large channel counts would blow up the shipped program
+        return (jnp.zeros((c,), jnp.float32),   # phase per channel, cycles
+                CF(jnp.asarray(g_np.real), jnp.asarray(g_np.imag)))
 
-    def apply(phases, spectra: CF):
+    def apply(state, spectra: CF):
+        phases, g = state
         b = spectra.shape[0]
         ramp, adv = _ramps(b)
         dot = lambda a, mm: jnp.dot(a, mm, precision=jax.lax.Precision.HIGH,
@@ -411,6 +418,6 @@ def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
         yi = zr * rot.im[:, :, None] + zi * rot.re[:, :, None]
         out = CF(yr.reshape(c, b * m), yi.reshape(c, b * m))
         counts = jnp.full((c,), b * m, jnp.int32)
-        return (phases + adv) % 1.0, VarOut(out, counts)
+        return ((phases + adv) % 1.0, g), VarOut(out, counts)
 
     return Block("fastddc_inv_cc", init, apply)
