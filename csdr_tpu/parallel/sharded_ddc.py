@@ -127,13 +127,19 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
 
     fold_eff = CF(jnp.asarray(fold_np.real), jnp.asarray(fold_np.imag))
 
+    # the fold matrices are explicit jit ARGUMENTS (device-resident, no
+    # per-call transfer): closing over them would ship them as program
+    # constants, which breaks remote compilation at large C*inv
     @jax.jit
+    def _step(x_re, x_im, f_re, f_im, ramp, c1):
+        return fn(x_re, x_im, f_re, f_im, ramp, c1)
+
     def step(x: CF):
         nl = x.shape[0] // n_time
         b_local = nl // ins
         k_local = b_local if fused else b_local * pis // post
         ramp, c1 = _nco_tables(k_local)
-        yr, yi = fn(x.re, x.im, fold_eff.re, fold_eff.im, ramp, c1)
+        yr, yi = _step(x.re, x.im, fold_eff.re, fold_eff.im, ramp, c1)
         return CF(yr, yi)
 
     meta = dict(input_size=ins, overlap=ov, post_input=pis, post=post,
