@@ -336,41 +336,7 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
         assert ch.fft_size == ddc.fft_size and ch.fft_inv_size == ddc.fft_inv_size
     if ddc.post_input_size % ddc.post_decimation == 0:
         return _fastddc_inv_fused_block(ddc, rates)
-    # dense fold matrix (fft, C*inv), host, once — MXU inverse path.
-    # NOTE the matrix rides in the STATE pytree, not the closure: a
-    # closed-over array lowers as a compile-time constant shipped with the
-    # program, which at C=64, D=50 is ~270 MB and breaks remote compilation
-    fold_np = np.concatenate([channel_matrix(ddc, r) for r in rates], axis=1)
-    post = ddc.post_decimation
-    pis = ddc.post_input_size
-    c = len(rates)
-    # per-channel decimating-shift NCO rate (cycles per taken sample),
-    # exact reference convention: decimating_shift_addition_init(post_shift, post)
-    dsa_rates = np.array([np.float32(ch.post_shift) * post for ch in chans], np.float32)
-
-    def init():
-        return (jnp.zeros((c,), jnp.float32),      # starting_phase per channel
-                jnp.zeros((c,), jnp.int32),        # decimation_remain per channel
-                CF(jnp.asarray(fold_np.real), jnp.asarray(fold_np.imag)))
-
-    def apply(state, spectra: CF):
-        phases, offsets, fold_mat = state
-        td = fastddc_inv_batch_mxu(spectra, ddc, fold_mat)  # (B, C, pis)
-        b = td.shape[0]
-        flat = CF(td.re.transpose(1, 0, 2).reshape(c, b * pis),
-                  td.im.transpose(1, 0, 2).reshape(c, b * pis))
-
-        def one(xre, xim, rate, phase, offset):
-            from csdr_tpu.ops.shift import decimating_shift_cc
-            y, count, nphase, noffset = decimating_shift_cc(
-                CF(xre, xim), rate, post, phase, offset)
-            return y.re, y.im, count, nphase, noffset
-
-        yr, yi, counts, nph, noff = jax.vmap(one)(
-            flat.re, flat.im, jnp.asarray(dsa_rates), phases, offsets)
-        return (nph, noff, fold_mat), VarOut(CF(yr, yi), counts)
-
-    return Block("fastddc_inv_cc", init, apply)
+    return _fastddc_inv_classed_block(ddc, rates)
 
 
 def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
@@ -418,6 +384,134 @@ def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
         yi = zr * rot.im[:, :, None] + zi * rot.re[:, :, None]
         out = CF(yr.reshape(c, b * m), yi.reshape(c, b * m))
         counts = jnp.full((c,), b * m, jnp.int32)
+        return ((phases + adv) % 1.0, g), VarOut(out, counts)
+
+    return Block("fastddc_inv_cc", init, apply)
+
+
+# ---------------------------------------------------------------------------
+# phase-classed fused inverse — ANY decimation as batched matmuls
+# ---------------------------------------------------------------------------
+
+def _class_plan(ddc: FastDDC):
+    """Frame phase classes for post_input_size % post != 0.
+
+    Frame b's first taken in-frame offset is t0 = (post - (b*pis) % post)
+    % post, which cycles with period q = post / gcd(pis, post).  Returns
+    (q, t0s, ms, m_max, S) where ms[o] is the per-class taken count and S
+    is the 0/1 compaction matrix (q*m_max, q*pis//post) that packs the
+    zero-padded per-frame outputs of one group back into the contiguous
+    decimated stream (compaction as a tiny MXU matmul — a constant-index
+    lane gather would be slow)."""
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    q = post // int(np.gcd(pis, post))
+    t0s = [(post - (b * pis) % post) % post for b in range(q)]
+    ms = [int(np.ceil((pis - t0) / post)) for t0 in t0s]
+    m_max = max(ms)
+    total = q * pis // post
+    assert sum(ms) == total
+    s = np.zeros((q * m_max, total), np.float32)
+    pos = 0
+    for o in range(q):
+        for i in range(ms[o]):
+            s[o * m_max + i, pos] = 1.0
+            pos += 1
+    return q, t0s, ms, m_max, s
+
+
+def channel_class_matrices(ddc: FastDDC, shift_rate: float):
+    """Per-class fused matrices for one channel: (q, fft, m_max) complex64
+    (zero-padded columns), plus dsa_rate (f64 cycles per taken sample).
+    G[o] maps a raw spectrum directly to that class's taken time samples,
+    with the in-frame NCO baked in (separable: taken index g = g0(b) + i)."""
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    inv, scrap = ddc.fft_inv_size, ddc.scrap
+    q, t0s, ms, m_max, _ = _class_plan(ddc)
+    f = channel_matrix(ddc, shift_rate)                      # (fft, inv)
+    ch = fastddc_init(ddc.transition_bw,
+                      ddc.pre_decimation * ddc.post_decimation,
+                      float(shift_rate), ddc.window)
+    dsa = np.float64(np.float32(ch.post_shift)) * post
+    k = np.arange(inv)[:, None]
+    bvec = np.exp(2j * np.pi * np.mod(np.arange(m_max) * dsa, 1.0))
+    g = np.zeros((q, ddc.fft_size, m_max), np.complex64)
+    for o in range(q):
+        t = scrap + t0s[o] + post * np.arange(ms[o])
+        w = np.exp(2j * np.pi * (k + inv // 2) * t[None, :] / inv) / inv
+        g[o, :, : ms[o]] = f @ (w * bvec[None, : ms[o]])
+    return g, dsa
+
+
+def _fastddc_inv_classed_block(ddc: FastDDC, rates) -> Block:
+    """Fused inverse for non-divisible post decimation (e.g. D=20, D=50):
+    frames grouped by phase class via reshape (no gather), one batched
+    complex matmul per chunk, per-frame NCO scalar, matmul compaction.
+
+    Streaming continuity requires chunks of a multiple of q frames (the
+    CLI/quantum layer enforces this); a lone unaligned chunk is padded and
+    processed correctly one-shot."""
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    q, t0s, ms, m_max, s_np = _class_plan(ddc)
+    ga = q * pis // post                        # taken samples per group
+    c = len(rates)
+    cols = [channel_class_matrices(ddc, r) for r in rates]
+    # layout (q, fft, C*m_max), channel-major column blocks
+    g_np = np.concatenate([g for g, _ in cols], axis=2)
+    dsa = np.asarray([d for _, d in cols], np.float64)       # (C,)
+    # per-frame NCO base: g0(b) = (b*pis + t0[b%q]) / post = (b//q)*ga +
+    # g0_local[b%q]; cycles = frac(g0 * dsa) via exact host ramps
+    g0_local = np.asarray([(b * pis + t0s[b]) // post for b in range(q)],
+                          np.float64)
+
+    ramp_cache: dict[int, tuple] = {}
+
+    def _ramps(bp: int):
+        if bp not in ramp_cache:
+            j = np.arange(bp // q, dtype=np.float64)[None, :, None]
+            r = g0_local[None, None, :]
+            cyc = np.mod((j * ga + r) * dsa[:, None, None], 1.0)
+            ramp_cache[bp] = (cyc.astype(np.float32),        # (C, B/q, q)
+                              np.mod((bp // q) * ga * dsa, 1.0)
+                              .astype(np.float32))           # (C,) advance
+        return ramp_cache[bp]
+
+    def init():
+        return (jnp.zeros((c,), jnp.float32),                # phase, cycles
+                CF(jnp.asarray(g_np.real), jnp.asarray(g_np.imag)))
+
+    def apply(state, spectra: CF):
+        phases, g = state
+        b = spectra.shape[0]
+        bp = -(-b // q) * q
+        if bp != b:
+            z = jnp.zeros((bp - b, ddc.fft_size), jnp.float32)
+            spectra = CF(jnp.concatenate([spectra.re, z]),
+                         jnp.concatenate([spectra.im, z]))
+        groups = bp // q
+        sr = spectra.re.reshape(groups, q, -1).transpose(1, 0, 2)
+        si = spectra.im.reshape(groups, q, -1).transpose(1, 0, 2)
+        dot = lambda a, mm: jnp.einsum(
+            "qgf,qfm->qgm", a, mm, precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)
+        zr = dot(sr, g.re) - dot(si, g.im)        # (q, groups, C*m_max)
+        zi = dot(sr, g.im) + dot(si, g.re)
+        # -> (C, groups, q, m_max)
+        zr = zr.reshape(q, groups, c, m_max).transpose(2, 1, 0, 3)
+        zi = zi.reshape(q, groups, c, m_max).transpose(2, 1, 0, 3)
+        ramp, adv = _ramps(bp)
+        cyc = (phases[:, None, None] + ramp) % 1.0           # (C, B/q, q)
+        rot = expj(2.0 * np.pi * cyc)
+        yr = zr * rot.re[..., None] - zi * rot.im[..., None]
+        yi = zr * rot.im[..., None] + zi * rot.re[..., None]
+        # compaction: (C, groups, q*m_max) @ (q*m_max, ga)
+        s_j = jnp.asarray(s_np)
+        yr = jnp.einsum("gkm,mn->gkn", yr.reshape(c, groups, q * m_max),
+                        s_j, precision=jax.lax.Precision.HIGHEST)
+        yi = jnp.einsum("gkm,mn->gkn", yi.reshape(c, groups, q * m_max),
+                        s_j, precision=jax.lax.Precision.HIGHEST)
+        out = CF(yr.reshape(c, groups * ga), yi.reshape(c, groups * ga))
+        count = -(-(b * pis) // post)             # ceil: true frames only
+        counts = jnp.full((c,), count, jnp.int32)
         return ((phases + adv) % 1.0, g), VarOut(out, counts)
 
     return Block("fastddc_inv_cc", init, apply)

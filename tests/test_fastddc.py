@@ -65,3 +65,32 @@ def test_fastddc_multichannel_batch():
         a = to_host(out_all.data)[ci][: int(np.asarray(out_all.count)[ci])]
         b = to_host(out_one.data)[0][: int(np.asarray(out_one.count)[0])]
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_classed_inverse_streaming_chunks():
+    """D=50 (phase-classed path): two q-aligned chunks == one shot (NCO
+    phase + class alignment carried)."""
+    d, rate = 50, 0.2
+    ddc = fastddc.fastddc_init(0.05, d, rate)
+    q = d // np.gcd(ddc.post_input_size, ddc.post_decimation)
+    nframes = 2 * 25
+    n = nframes * ddc.input_size
+    x = cplx_noise(n, seed=7)
+
+    fwd = fastddc.fastddc_fwd_block(ddc)
+    inv = fastddc.fastddc_inv_block(ddc, [rate])
+    _, spectra = fwd.apply(fwd.init(), to_dev(x))
+
+    si, out1 = inv.apply(inv.init(), spectra)
+    once = to_host(out1.data)[0][: int(np.asarray(out1.count)[0])]
+
+    si = inv.init()
+    parts = []
+    half = nframes // 2
+    for sl in (slice(0, half), slice(half, nframes)):
+        si, o = inv.apply(si, fastddc.CF(spectra.re[sl], spectra.im[sl]))
+        parts.append(to_host(o.data)[0][: int(np.asarray(o.count)[0])])
+    streamed = np.concatenate(parts)
+    m = min(len(once), len(streamed))
+    np.testing.assert_allclose(streamed[:m].real, once[:m].real, atol=2e-5)
+    np.testing.assert_allclose(streamed[:m].imag, once[:m].imag, atol=2e-5)
