@@ -282,42 +282,101 @@ def channel_arrays(ddc: FastDDC, shift_rate: float):
     return taps_row, raw_gather_perm(ch), np.float32(ch.post_shift) * ddc.post_decimation
 
 
-def fastddc_inv_dynamic_block(ddc: FastDDC, n_channels: int):
-    """The ddcd-server inverse: like fastddc_inv_block, but the fold matrix
-    and NCO rates are ARGUMENTS of the jitted step so channels can be
-    retuned/claimed/released at runtime with no recompilation (the TPU-native
-    replacement for ddcd forking a fresh ``csdr fastddc_inv_cc`` per client,
-    ddcd_old.cpp:238-256).  A retune rewrites one channel's
-    (fft, fft_inv_size) block of the fold matrix (channel_matrix).
+def dynamic_channel_cols(ddc: FastDDC, shift_rate: float):
+    """One channel's dynamic-inverse payload: (G_block, cyc) matching the
+    layout fastddc_inv_dynamic_block expects — fused (fft, M) + per-frame
+    cycles for divisible post decimation, else phase-classed
+    (q, fft, m_max) + per-taken-sample cycles."""
+    if ddc.post_input_size % ddc.post_decimation == 0:
+        g, fc = channel_fused_matrix(ddc, shift_rate)
+        return g, np.float32(fc)
+    g, dsa = channel_class_matrices(ddc, shift_rate)
+    return g, np.float32(np.mod(dsa, 1.0))
 
-    Returns (init, step); step(state, spectra CF (B, fft), fold_mat CF
-    (fft, C*inv), dsa_rates (C,) f32) -> (state', VarOut(CF (C, cap),
-    counts))."""
-    post = ddc.post_decimation
-    pis = ddc.post_input_size
+
+def fastddc_inv_dynamic_block(ddc: FastDDC, n_channels: int):
+    """The ddcd-server inverse: the fused/classed G matrices and NCO rates
+    are ARGUMENTS of the jitted step so channels can be retuned, claimed,
+    or released at runtime with no recompilation (the TPU-native
+    replacement for ddcd forking a fresh ``csdr fastddc_inv_cc`` per
+    client, ddcd_old.cpp:238-256).  A retune rewrites one channel's G
+    column block (dynamic_channel_cols).
+
+    Returns (init, step, g_shape):
+      divisible post:  g (fft, C*M) CF, cyc (C,) = per-FRAME NCO cycles
+      otherwise:       g (q, fft, C*m_max) CF, cyc (C,) = per-taken cycles
+    step(state, spectra CF (B, fft), g, cyc) -> (state', VarOut).
+    NCO ramps use on-device f32 (cyc is traced); the carried phase keeps
+    drift bounded per chunk — same order as the reference's own f32 phase
+    accumulation."""
+    pis, post = ddc.post_input_size, ddc.post_decimation
     c = n_channels
 
+    if pis % post == 0:
+        m = pis // post
+
+        def init():
+            return jnp.zeros((c,), jnp.float32)
+
+        def step(phases, spectra: CF, g: CF, cyc):
+            b = spectra.shape[0]
+            dot = lambda a, mm: jnp.dot(
+                a, mm, precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32)
+            zr = dot(spectra.re, g.re) - dot(spectra.im, g.im)
+            zi = dot(spectra.re, g.im) + dot(spectra.im, g.re)
+            zr = zr.reshape(b, c, m).transpose(1, 0, 2)
+            zi = zi.reshape(b, c, m).transpose(1, 0, 2)
+            k = jnp.arange(b, dtype=jnp.float32)
+            ramp = (k[None, :] * cyc[:, None]) % 1.0
+            rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
+            yr = zr * rot.re[:, :, None] - zi * rot.im[:, :, None]
+            yi = zr * rot.im[:, :, None] + zi * rot.re[:, :, None]
+            out = CF(yr.reshape(c, b * m), yi.reshape(c, b * m))
+            counts = jnp.full((c,), b * m, jnp.int32)
+            nphase = (phases + (b * cyc) % 1.0) % 1.0
+            return nphase, VarOut(out, counts)
+
+        return init, step, (ddc.fft_size, c * m)
+
+    q, t0s, ms, m_max, s_np = _class_plan(ddc)
+    ga = q * pis // post
+    g0_local = np.asarray([(bb * pis + t0s[bb]) // post for bb in range(q)],
+                          np.float32)
+
     def init():
-        return (jnp.zeros((c,), jnp.float32), jnp.zeros((c,), jnp.int32))
+        return jnp.zeros((c,), jnp.float32)
 
-    def step(state, spectra: CF, fold_mat: CF, dsa_rates):
-        phases, offsets = state
-        td = fastddc_inv_batch_mxu(spectra, ddc, fold_mat)
-        b = td.shape[0]
-        flat = CF(td.re.transpose(1, 0, 2).reshape(c, b * pis),
-                  td.im.transpose(1, 0, 2).reshape(c, b * pis))
+    def step(phases, spectra: CF, g: CF, cyc):
+        b = spectra.shape[0]
+        assert b % q == 0, f"chunk frames {b} % q {q} != 0"
+        groups = b // q
+        sr = spectra.re.reshape(groups, q, -1).transpose(1, 0, 2)
+        si = spectra.im.reshape(groups, q, -1).transpose(1, 0, 2)
+        dot = lambda a, mm: jnp.einsum(
+            "qgf,qfm->qgm", a, mm, precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)
+        zr = dot(sr, g.re) - dot(si, g.im)
+        zi = dot(sr, g.im) + dot(si, g.re)
+        zr = zr.reshape(q, groups, c, m_max).transpose(2, 1, 0, 3)
+        zi = zi.reshape(q, groups, c, m_max).transpose(2, 1, 0, 3)
+        jj = jnp.arange(groups, dtype=jnp.float32)
+        base = (jj[None, :, None] * ((ga * cyc) % 1.0)[:, None, None]
+                + g0_local[None, None, :] * cyc[:, None, None]) % 1.0
+        rot = expj(2.0 * np.pi * ((phases[:, None, None] + base) % 1.0))
+        yr = zr * rot.re[..., None] - zi * rot.im[..., None]
+        yi = zr * rot.im[..., None] + zi * rot.re[..., None]
+        s_j = jnp.asarray(s_np)
+        yr = jnp.einsum("gkm,mn->gkn", yr.reshape(c, groups, q * m_max), s_j,
+                        precision=jax.lax.Precision.HIGHEST)
+        yi = jnp.einsum("gkm,mn->gkn", yi.reshape(c, groups, q * m_max), s_j,
+                        precision=jax.lax.Precision.HIGHEST)
+        out = CF(yr.reshape(c, groups * ga), yi.reshape(c, groups * ga))
+        counts = jnp.full((c,), groups * ga, jnp.int32)
+        nphase = (phases + (groups * ((ga * cyc) % 1.0)) % 1.0) % 1.0
+        return nphase, VarOut(out, counts)
 
-        def one(xre, xim, rate, phase, offset):
-            from csdr_tpu.ops.shift import decimating_shift_cc
-            y, count, nphase, noffset = decimating_shift_cc(
-                CF(xre, xim), rate, post, phase, offset)
-            return y.re, y.im, count, nphase, noffset
-
-        yr, yi, counts, nph, noff = jax.vmap(one)(
-            flat.re, flat.im, dsa_rates, phases, offsets)
-        return (nph, noff), VarOut(CF(yr, yi), counts)
-
-    return init, step
+    return init, step, (q, ddc.fft_size, c * m_max)
 
 
 def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> Block:

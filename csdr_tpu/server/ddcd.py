@@ -82,15 +82,21 @@ class DdcdServer:
 
         if method == "fastddc":
             self.ddc = fastddc.fastddc_init(transition_bw, decimation)
+            pis, post = self.ddc.post_input_size, self.ddc.post_decimation
+            if pis % post != 0:
+                # classed path needs q-aligned chunks
+                q = post // int(np.gcd(pis, post))
+                frames = max(q, (frames // q) * q)
             self.chunk_in = self.ddc.input_size * frames
-            # host-side fold matrix; column block = channel slot
-            inv = self.ddc.fft_inv_size
-            self.fold_np = np.zeros((self.ddc.fft_size, c * inv), np.complex64)
+            init_inv, step_inv, g_shape = \
+                fastddc.fastddc_inv_dynamic_block(self.ddc, c)
+            # host-side G matrix; per-channel column blocks (fused or
+            # phase-classed layout, see dynamic_channel_cols)
+            self.fold_np = np.zeros(g_shape, np.complex64)
+            self._block_cols = g_shape[-1] // c
             self.rate_np = np.zeros((c,), np.float32)
-            self._inv_size = inv
 
             fwd = fastddc.fastddc_fwd_block(self.ddc)
-            init_inv, step_inv = fastddc.fastddc_inv_dynamic_block(self.ddc, c)
             self.state = (fwd.init(), init_inv())
 
             def step(state, x, f_re, f_im, rates):
@@ -160,8 +166,8 @@ class DdcdServer:
         with self.lock:
             self.clients.pop(id(cl), None)
             if self.method == "fastddc":
-                inv = self._inv_size
-                self.fold_np[:, cl.slot * inv:(cl.slot + 1) * inv] = 0.0
+                w = self._block_cols
+                self.fold_np[..., cl.slot * w:(cl.slot + 1) * w] = 0.0
             self.rate_np[cl.slot] = 0.0
             self.dirty = True
         cl.stop()
@@ -169,11 +175,10 @@ class DdcdServer:
     def _set_shift_locked(self, slot: int, rate: float):
         if self.method == "fastddc":
             from csdr_tpu.ops import fastddc
-            inv = self._inv_size
-            self.fold_np[:, slot * inv:(slot + 1) * inv] = \
-                fastddc.channel_matrix(self.ddc, rate)
-            _, _, r = fastddc.channel_arrays(self.ddc, rate)
-            self.rate_np[slot] = r
+            w = self._block_cols
+            g, cyc = fastddc.dynamic_channel_cols(self.ddc, rate)
+            self.fold_np[..., slot * w:(slot + 1) * w] = g
+            self.rate_np[slot] = cyc
         else:
             # reference convention: td method feeds `shift=` straight into
             # shift_addfast_cc (mix by +rate), so a channel centered at -rate

@@ -280,3 +280,49 @@ def test_ddcd_bypass():
     finally:
         proc.terminate()
         proc.wait(timeout=15)
+
+
+def test_ddcd_classed_decimation():
+    """D=50 exercises the phase-classed dynamic inverse in the server."""
+    port = _free_port()
+    rate = 0.11
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port", str(port),
+         "--decimation", "50", "--method", "fastddc", "--frames", "25",
+         "--max_channels", "2"],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+    try:
+        deadline = time.time() + 90
+        while True:
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=2)
+                break
+            except OSError:
+                assert time.time() < deadline
+                time.sleep(0.2)
+                assert proc.poll() is None
+        c.sendall(f"shift={-rate}\n".encode())
+        time.sleep(0.3)
+        x = _tone_mix(896 * 25 * 12, (rate,), (1.0,))
+
+        def feeder():
+            try:
+                proc.stdin.write(
+                    np.stack([x.real, x.imag], -1).astype(np.float32).tobytes())
+                proc.stdin.close()
+            except OSError:
+                pass
+
+        threading.Thread(target=feeder, daemon=True).start()
+        d = _recv_n(c, 2048 * 8, timeout=180)
+        y = np.frombuffer(d, np.float32)
+        y = (y[0::2] + 1j * y[1::2])[256:]
+        assert len(y) > 1024
+        spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+        peak = np.fft.fftfreq(len(y))[np.argmax(spec)]
+        assert abs(peak) < 0.02, peak
+        c.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=15)
