@@ -63,23 +63,39 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
         cols = [fd.channel_fused_matrix(ddc, float(r)) for r in rates]
         fold_np = np.stack([g for g, _ in cols])              # (C, fft, M)
         cyc_np = np.asarray([fc for _, fc in cols], np.float64)  # /frame
+        q, ga, g0_local, s_np, m_max = 1, pis // post, None, None, pis // post
     else:
-        fold_np = np.stack([fd.channel_matrix(ddc, float(r)) for r in rates])
-        cyc_np = np.asarray([fd.channel_arrays(ddc, float(r))[2]
-                             for r in rates], np.float64)     # /taken sample
+        # phase-classed fused inverse (ops/fastddc._class_plan): per-class
+        # matrices stacked (C, q, fft, m_max), compaction matrix S shared
+        q, t0s, ms, m_max, s_np = fd._class_plan(ddc)
+        ga = q * pis // post
+        cols = [fd.channel_class_matrices(ddc, float(r)) for r in rates]
+        fold_np = np.stack([g for g, _ in cols])          # (C, q, fft, mmax)
+        dsa_np = np.asarray([d for _, d in cols], np.float64)
+        cyc_np = None
+        g0_local = np.asarray([(bb * pis + t0s[bb]) // post
+                               for bb in range(q)], np.float64)
 
     ramp_cache: dict[int, tuple] = {}
 
-    def _nco_tables(k_local: int):
-        """Exact per-channel NCO ramps over one shard's k_local units
-        (frames when fused, taken samples otherwise)."""
-        if k_local not in ramp_cache:
-            k = np.arange(k_local, dtype=np.float64)
-            ramp = np.mod(k[None, :] * cyc_np[:, None], 1.0).astype(np.float32)
-            c1 = np.mod(k_local * cyc_np, 1.0).astype(np.float32)
-            # numpy, not jnp: jnp arrays created inside a trace leak tracers
-            ramp_cache[k_local] = (ramp, c1)
-        return ramp_cache[k_local]
+    def _nco_tables(b_local: int):
+        """Exact per-channel per-FRAME NCO ramps over one shard's b_local
+        frames, plus the per-time-shard advance c1 (cycles).  cycles(frame
+        b_global = tidx*b_local + b) = frac(tidx*c1 + ramp[b])."""
+        if b_local not in ramp_cache:
+            if fused:
+                k = np.arange(b_local, dtype=np.float64)
+                ramp = np.mod(k[None, :] * cyc_np[:, None], 1.0)
+                c1 = np.mod(b_local * cyc_np, 1.0)
+            else:
+                assert b_local % q == 0, (b_local, q)
+                k = np.arange(b_local)
+                g0 = (k // q) * ga + g0_local[k % q]          # (B_l,) f64
+                ramp = np.mod(g0[None, :] * dsa_np[:, None], 1.0)
+                c1 = np.mod((b_local // q) * ga * dsa_np, 1.0)
+            ramp_cache[b_local] = (ramp.astype(np.float32),
+                                   c1.astype(np.float32))
+        return ramp_cache[b_local]
 
     def shard_fn(x_re, x_im, f_re, f_im, ramp, c1):
         nl = x_re.shape[0]
@@ -108,19 +124,33 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
             yr = zr * rot.re[:, :, None] - zi * rot.im[:, :, None]
             yi = zr * rot.im[:, :, None] + zi * rot.re[:, :, None]
             return yr.reshape(cl, b * m), yi.reshape(cl, b * m)
-        fold_local = CF(f_re.transpose(1, 0, 2).reshape(ddc.fft_size, -1),
-                        f_im.transpose(1, 0, 2).reshape(ddc.fft_size, -1))
-        td = fd.fastddc_inv_batch_mxu(spectra, ddc, fold_local)
-        flat = CF(td.re.transpose(1, 0, 2).reshape(cl, b * pis),
-                  td.im.transpose(1, 0, 2).reshape(cl, b * pis))
-        taken = CF(flat.re[:, ::post], flat.im[:, ::post])    # (C_l, m)
-        y = taken * rot                                       # per-sample NCO
-        return y.re, y.im
+        # phase-classed: (Cl, q, fft, mmax) -> per-class batched matmuls
+        groups = b // q
+        gre = f_re.transpose(1, 2, 0, 3).reshape(q, ddc.fft_size, cl * m_max)
+        gim = f_im.transpose(1, 2, 0, 3).reshape(q, ddc.fft_size, cl * m_max)
+        sr = spectra.re.reshape(groups, q, -1).transpose(1, 0, 2)
+        si = spectra.im.reshape(groups, q, -1).transpose(1, 0, 2)
+        dote = lambda a, mm: jnp.einsum(
+            "qgf,qfm->qgm", a, mm, precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)
+        zr = dote(sr, gre) - dote(si, gim)
+        zi = dote(sr, gim) + dote(si, gre)
+        zr = zr.reshape(q, groups, cl, m_max).transpose(2, 1, 0, 3)
+        zi = zi.reshape(q, groups, cl, m_max).transpose(2, 1, 0, 3)
+        rotf = CF(rot.re.reshape(cl, groups, q), rot.im.reshape(cl, groups, q))
+        yr = zr * rotf.re[..., None] - zi * rotf.im[..., None]
+        yi = zr * rotf.im[..., None] + zi * rotf.re[..., None]
+        s_j = jnp.asarray(s_np)
+        yr = jnp.einsum("ckm,mn->ckn", yr.reshape(cl, groups, q * m_max), s_j,
+                        precision=jax.lax.Precision.HIGHEST)
+        yi = jnp.einsum("ckm,mn->ckn", yi.reshape(cl, groups, q * m_max), s_j,
+                        precision=jax.lax.Precision.HIGHEST)
+        return yr.reshape(cl, groups * ga), yi.reshape(cl, groups * ga)
 
+    fold_spec = P("chan", *([None] * (fold_np.ndim - 1)))
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("time"), P("time"),
-                  P("chan", None, None), P("chan", None, None),
+        in_specs=(P("time"), P("time"), fold_spec, fold_spec,
                   P("chan", None), P("chan")),
         out_specs=(P("chan", "time"), P("chan", "time")),
         check_vma=False)
@@ -137,8 +167,7 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
     def step(x: CF):
         nl = x.shape[0] // n_time
         b_local = nl // ins
-        k_local = b_local if fused else b_local * pis // post
-        ramp, c1 = _nco_tables(k_local)
+        ramp, c1 = _nco_tables(b_local)
         yr, yi = _step(x.re, x.im, fold_eff.re, fold_eff.im, ramp, c1)
         return CF(yr, yi)
 

@@ -91,3 +91,30 @@ def test_ddc_bank_mesh_shape_invariance(chan, time):
     b = jax.block_until_ready(step_b(x))
     np.testing.assert_allclose(np.asarray(a.re), np.asarray(b.re), atol=2e-4)
     np.testing.assert_allclose(np.asarray(a.im), np.asarray(b.im), atol=2e-4)
+
+
+def test_ddc_bank_classed_decimation_matches_single_device():
+    """D=50: the sharded bank's phase-classed branch == unsharded classed
+    inverse (q-aligned shards, ppermute halo, carried NCO)."""
+    from csdr_tpu.ops import fastddc as fd
+    from csdr_tpu.parallel import sharded_ddc
+
+    mesh = _mesh(2, 4)
+    step, x, ddc, rates = sharded_ddc.example_ddc_bank(
+        mesh, frames_per_shard=25, c_total=4, decimation=50)
+    out = step(x)
+    out_c = np.asarray(out.re) + 1j * np.asarray(out.im)
+
+    fwd = fd.fastddc_fwd_block(ddc)
+    inv = fd.fastddc_inv_block(ddc, rates)
+    _, spectra = fwd.apply(fwd.init(), x)
+    _, vo = inv.apply(inv.init(), spectra)
+    counts = np.asarray(vo.count)
+    ref = np.asarray(vo.data.re) + 1j * np.asarray(vo.data.im)
+    m = out_c.shape[1]
+    for c in range(4):
+        n = min(int(counts[c]), m)
+        np.testing.assert_allclose(out_c[c, :n].real, ref[c, :n].real,
+                                   atol=2e-4)
+        np.testing.assert_allclose(out_c[c, :n].imag, ref[c, :n].imag,
+                                   atol=2e-4)
