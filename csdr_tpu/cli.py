@@ -1085,19 +1085,16 @@ def _c_ddcinv(args):
     # dynamic inverse: the fold matrix is a traced argument, so a FIFO
     # retune (reference csdr.c:2308-2339 re-enters fastddc_init) is a host
     # recompute + transfer with NO recompilation
-    init_inv, step_inv = fastddc.fastddc_inv_dynamic_block(ddc, 1)
+    init_inv, step_inv, _gshape = fastddc.fastddc_inv_dynamic_block(ddc, 1)
     import jax
     import jax.numpy as jnp
-    step_inv = jax.jit(step_inv)   # fold matrix is an ARG: no retrace on retune
+    step_inv = jax.jit(step_inv)   # G matrix is an ARG: no retrace on retune
     box = {}
 
     def set_rate(r):
-        import numpy as np_
-        ch = fastddc.fastddc_init(bw, d, r, win)
-        f = fastddc.channel_matrix(ddc, r)
-        box["fold"] = (jnp.asarray(f.real), jnp.asarray(f.imag))
-        box["dsa"] = jnp.asarray(
-            [np_.float32(ch.post_shift) * ddc.post_decimation], jnp.float32)
+        g, cyc = fastddc.dynamic_channel_cols(ddc, r)
+        box["fold"] = (jnp.asarray(g.real), jnp.asarray(g.imag))
+        box["dsa"] = jnp.asarray([cyc], jnp.float32)
 
     set_rate(rate)
 
@@ -1118,8 +1115,13 @@ def _c_ddcinv(args):
                 pass
         return state
 
-    pump(Block("ddcinv", init_inv, apply), "c", "c", quantum=ddc.fft_size,
-         on_chunk=on_chunk, jit=False)
+    # classed decimations (post_input % post != 0) need q-aligned frame
+    # counts per chunk for streaming NCO/class continuity
+    import math
+    q_al = (ddc.post_decimation //
+            math.gcd(ddc.post_input_size, ddc.post_decimation))
+    pump(Block("ddcinv", init_inv, apply), "c", "c",
+         quantum=ddc.fft_size * q_al, on_chunk=on_chunk, jit=False)
 
 
 # --- digital / modem -------------------------------------------------------------
