@@ -326,3 +326,68 @@ def test_ddcd_classed_decimation():
     finally:
         proc.terminate()
         proc.wait(timeout=15)
+
+
+def test_nmux_slow_client_lapped_not_stalling(native_build):
+    """The drop-oldest property: a stalled client must NOT stall the
+    producer or a fast client; when it resumes it has lost data (lapped)
+    rather than buffered everything."""
+    port = _free_port()
+    # pool gives the FAST client 4 MiB of slack (never lapped at loopback
+    # speed); the payload exceeds pool + the stalled client's socket
+    # buffering (tcp_wmem max ~4 MiB) so its blocked nmux thread laps
+    bufsize, bufcnt = 4096, 1024
+    payload = bytes(range(256)) * 32768  # 8 MiB
+    proc = subprocess.Popen(
+        [str(native_build / "nmux"), "--port", str(port),
+         "--address", "127.0.0.1", "--bufsize", str(bufsize),
+         "--bufcnt", str(bufcnt)],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        time.sleep(0.3)
+        fast = socket.create_connection(("127.0.0.1", port), timeout=5)
+        slow = socket.create_connection(("127.0.0.1", port), timeout=5)
+        slow.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        time.sleep(0.2)
+
+        got_fast = []
+
+        def fast_reader():
+            while True:
+                d = fast.recv(1 << 16)
+                if not d:
+                    break
+                got_fast.append(d)
+
+        t = threading.Thread(target=fast_reader, daemon=True)
+        t.start()
+        # throttled producer: the fast client keeps up; the slow client
+        # (stalled, tiny RCVBUF) falls a full pool depth behind and laps
+        for i in range(0, len(payload), 65536):
+            proc.stdin.write(payload[i:i + 65536])
+            proc.stdin.flush()
+            time.sleep(0.001)
+        proc.stdin.close()
+        t.join(timeout=30)
+        fast_bytes = b"".join(got_fast)
+        assert fast_bytes == payload       # fast client: complete stream
+        # the slow client must have lost data: drain for a bounded time
+        # (its 4 KiB RCVBUF crawls, and exact drop-oldest semantics are
+        # unit-tested on tsmpool) and check it cannot produce the payload
+        slow.settimeout(1)
+        got_slow = b""
+        deadline = time.time() + 8
+        try:
+            while time.time() < deadline:
+                d = slow.recv(1 << 16)
+                if not d:
+                    break
+                got_slow += d
+        except socket.timeout:
+            pass
+        assert len(got_slow) < len(payload), len(got_slow)
+        fast.close()
+        slow.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
