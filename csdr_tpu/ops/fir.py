@@ -120,9 +120,10 @@ def _interp_tap_matrix(taps: np.ndarray, interpolation: int) -> np.ndarray:
 
 
 def _frames(x, k: int, s: int):
-    """Overlapping frames F[i, j] = x[i + j], shape (k, s)."""
-    idx = jnp.arange(k)[:, None] + jnp.arange(s)[None, :]
-    return x[idx]
+    """Overlapping frames F[i, j] = x[i + j], shape (k, s), built from s
+    static shifted slices (a (k, s) gather is pathologically slow on TPU)."""
+    return jnp.stack([jax.lax.slice_in_dim(x, j, j + k) for j in range(s)],
+                     axis=1)
 
 
 def fir_interpolate_cc(x: CF, taps, interpolation: int,
@@ -280,6 +281,10 @@ def rational_resampler_block(taps, interpolation: int, decimation: int,
     cache = {}
 
     def make_plan(n: int):
+        """Per-chunk host plan.  The per-output window start/tap-phase are
+        OUTPUT-PERIODIC with period I (S(m+I) = S(m)+D, delay(m+I) =
+        delay(m)), so the whole resampler decomposes into I stride-D
+        convolutions — a (cap, S) gather here is ~100x slower on TPU."""
         nout = n * i_ // d_
         assert nout * d_ == n * i_, "chunk*I must be divisible by D"
         k = np.arange(nout)
@@ -288,9 +293,13 @@ def rational_resampler_block(taps, interpolation: int, decimation: int,
         tail_len = int(max(s + 1, -start_rel.min() + 1))
         xidx = start_rel + tail_len
         assert xidx.min() >= 0 and xidx.max() + s - 1 < tail_len + n
-        gidx = jnp.asarray(xidx[:, None] + np.arange(s)[None, :])
-        phase = jnp.asarray(_delay(m).astype(np.int32))
-        return tail_len, gidx, phase
+        kmax = -(-nout // i_)
+        starts = xidx[:i_]                               # (I,)
+        taps_sel = _resampler_phase_matrix(taps_np, i_)[
+            _delay(m[:i_]).astype(np.int64)]             # (I, S)
+        lw = (kmax - 1) * d_ + s
+        pad = max(0, int(starts.max()) + lw - (tail_len + n))
+        return tail_len, starts, taps_sel, kmax, lw, pad, nout
 
     def init():
         return None  # tail allocated lazily (length depends on chunk size)
@@ -299,12 +308,19 @@ def rational_resampler_block(taps, interpolation: int, decimation: int,
         n = x.shape[0]
         if n not in cache:
             cache[n] = make_plan(n)
-        tail_len, gidx, phase = cache[n]
+        tail_len, starts, taps_sel, kmax, lw, pad, nout = cache[n]
         if tail is None:
             tail = jnp.zeros((tail_len,), jnp.float32)
-        xcat = jnp.concatenate([tail, x])
-        y = jnp.sum(xcat[gidx] * pmat_j[phase], axis=1, dtype=jnp.float32) * i_
-        return xcat[n:], y
+        xcat = jnp.concatenate([tail, x, jnp.zeros((pad,), jnp.float32)])
+        segs = jnp.stack([xcat[int(st):int(st) + lw] for st in starts])
+        # grouped conv: I output phases, each its own taps, stride D
+        out = jax.lax.conv_general_dilated(
+            segs[None, :, :], jnp.asarray(taps_sel)[:, None, :],
+            window_strides=(d_,), padding="VALID", feature_group_count=i_,
+            precision=precision,
+            preferred_element_type=jnp.float32)[0]       # (I, kmax)
+        y = (out.T.reshape(-1)[:nout] * i_).astype(jnp.float32)
+        return xcat[n:n + tail_len] if pad else xcat[n:], y
 
     return Block(name=name, init=init, apply=apply, warmup_out=shift_out)
 

@@ -63,20 +63,30 @@ def fft_cc_block(fft_size: int, every_n_samples: int,
     def init():
         return CF.zeros((ov,))
 
+    def _frames_strided(arr, b):
+        """frame i = arr[i*ins : i*ins + fft_size] via shifted reshapes
+        (a (B, fft) gather compiles pathologically on TPU)."""
+        ins = every_n_samples
+        chunks = []
+        need = ((fft_size - 1) // ins) * ins + b * ins
+        if need > arr.shape[0]:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((need - arr.shape[0],), arr.dtype)])
+        for cpos in range(0, fft_size, ins):
+            w = min(ins, fft_size - cpos)
+            chunks.append(arr[cpos: cpos + b * ins].reshape(b, ins)[:, :w])
+        return jnp.concatenate(chunks, axis=1)
+
     def apply(tail, x):
         n = x.shape[0]
         assert n % every_n_samples == 0
         b = n // every_n_samples
         if ov:
             xcat = cplx.concat([tail, x])
-            idx = (np.arange(fft_size)[None, :]
-                   + (np.arange(b) * every_n_samples)[:, None])
-            frames = CF(xcat.re[idx], xcat.im[idx])
+            frames = CF(_frames_strided(xcat.re, b), _frames_strided(xcat.im, b))
             new_tail = xcat[n:]
         else:
-            idx = (np.arange(fft_size)[None, :]
-                   + (np.arange(b) * every_n_samples)[:, None])
-            frames = CF(x.re[idx], x.im[idx])
+            frames = CF(_frames_strided(x.re, b), _frames_strided(x.im, b))
             new_tail = tail
         frames = frames * wt
         return new_tail, cfft.fft(frames)
