@@ -102,17 +102,19 @@ def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
     d = decimation
     t = taps.shape[0]
     m = -(-t // d)
-    ok = (
-        xcat.shape[0] % d == 0
-        and _pick_tile(kout) is not None
-        and xcat.shape[0] // d >= kout + m - 1
-        and jax.default_backend() == "tpu"
-    )
-    if not ok:
+    if xcat.shape[0] % d != 0 or jax.default_backend() != "tpu":
         return fir_decimate_cc(xcat, taps, d, precision)[:kout]
+    # pad kout up to a full 2048-sample tile: a ragged kout otherwise picks
+    # a tiny tile (e.g. 128) and the grid overhead dominates (~10x slower)
+    kout_pad = -(-kout // 2048) * 2048
+    need = (kout_pad + m - 1) * d
+    if xcat.shape[0] < need:
+        pad = need - xcat.shape[0]
+        xcat = CF(jnp.concatenate([xcat.re, jnp.zeros((pad,), xcat.re.dtype)]),
+                  jnp.concatenate([xcat.im, jnp.zeros((pad,), xcat.im.dtype)]))
     taps_mat = jnp.zeros((m * d,), jnp.float32).at[:t].set(taps).reshape(m, d)
-    yr, yi = _fir_decimate_pallas(xcat.re, xcat.im, taps_mat, d, kout)
-    return CF(yr, yi)
+    yr, yi = _fir_decimate_pallas(xcat.re, xcat.im, taps_mat, d, kout_pad)
+    return CF(yr[:kout], yi[:kout])
 
 
 # ---------------------------------------------------------------------------
@@ -179,20 +181,22 @@ def _toeplitz_w(taps: np.ndarray, d: int, r: int):
 
 def fir_decimate_best(xcat, taps, decimation: int, kout: int,
                       precision=jax.lax.Precision.HIGHEST):
-    """Kernel dispatch by regime: VPU polyphase (memory-bound, short taps)
-    vs MXU Toeplitz matmul (compute-bound, long taps).  Crossover ~ T/D=24.
+    """Kernel dispatch: MXU Toeplitz matmul on TPU (measured fastest at ALL
+    tap lengths on this hardware — ~50 Gsps at 81 taps, ~20 Gsps at 1023
+    taps, despite the W-matrix density waste at short taps; the VPU
+    polyphase Pallas kernel tops out ~28x lower), XLA conv elsewhere.
 
-    precision: HIGHEST (default) holds ~128 dB SNR vs the reference C and
-    hits ~20 Gsps at 1023 taps; Precision.HIGH is ~43% faster (~28 Gsps)
-    at ~98 dB SNR — use it when the pipeline tolerates bf16x3 accumulation.
+    precision: HIGHEST (default) holds ~128 dB SNR vs the reference C;
+    Precision.HIGH is ~43% faster at long taps (~98 dB SNR) when the
+    pipeline tolerates bf16x3 accumulation.
     """
     from csdr_tpu.core.cplx import CF
     from csdr_tpu.ops.fir import fir_decimate_cc
 
     d = decimation
     t = taps.shape[0]
-    if (t + d - 1) // d <= 24:
-        return fir_decimate_pallas_or_fallback(xcat, taps, d, kout, precision)
+    if jax.default_backend() != "tpu":
+        return fir_decimate_cc(xcat, taps, d, precision)[:kout]
     # round kout up to the Toeplitz kernel's 128-row tile, zero-padding the
     # input as needed: the padded tail costs <1 tile of work, while the
     # conv fallback for a ragged kout is ~100x slower at long taps
