@@ -91,8 +91,8 @@ def fir_decimate_block(taps, decimation: int, name: str = "fir_decimate_cc",
         assert n % d == 0, f"chunk size {n} must be a multiple of decimation {d}"
         xcat = cplx.concat([tail, x])
         if use_pallas:
-            from csdr_tpu.kernels.fir_pallas import fir_decimate_pallas_or_fallback
-            y = fir_decimate_pallas_or_fallback(xcat, taps_j, d, n // d, precision)
+            from csdr_tpu.kernels.fir_pallas import fir_decimate_best
+            y = fir_decimate_best(xcat, taps_j, d, n // d, precision)
         else:
             y = fir_decimate_cc(xcat, taps_j, d, precision)[: n // d]
         return xcat[n:], y
@@ -179,20 +179,41 @@ def plain_interpolate_cc(x: CF, interpolation: int) -> CF:
 def apply_fir_cc(x: CF, taps: CF, precision=DEFAULT_PRECISION) -> CF:
     """Valid-mode FIR with COMPLEX taps on complex input
     (reference libcsdr.c:2261-2273): y[i] = sum_t x[i+t]*taps[t]
-    (complex multiply, no conjugate)."""
-    x2 = jnp.stack([x.re, x.im])
-    rr_ir = _corr_valid_strided_real(x2, taps.re, 1, precision)   # x.re*tr, x.im*tr
-    ri_ii = _corr_valid_strided_real(x2, taps.im, 1, precision)   # x.re*ti, x.im*ti
-    return CF(rr_ir[0] - ri_ii[1], ri_ii[0] + rr_ir[1])
+    (complex multiply, no conjugate).  frames @ taps on the MXU — stride-1
+    XLA convs lower pathologically on this TPU backend."""
+    t = taps.shape[0]
+    k = x.shape[0] - t + 1
+    fr = _frames(x.re, k, t)
+    fi = _frames(x.im, k, t)
+    dot = lambda a, b: jnp.dot(a, b, precision=precision,
+                               preferred_element_type=jnp.float32)
+    return CF(dot(fr, taps.re) - dot(fi, taps.im),
+              dot(fr, taps.im) + dot(fi, taps.re))
 
 
 def apply_real_fir_cc(x: CF, taps, precision=DEFAULT_PRECISION) -> CF:
-    """Valid-mode real-tap FIR on complex input (reference libcsdr.c:2276-2291)."""
-    return fir_decimate_cc(x, taps, 1, precision)
+    """Valid-mode real-tap FIR on complex input (reference libcsdr.c:2276-2291).
+    frames @ taps on the MXU (stride-1 conv avoidance, see apply_fir_cc)."""
+    taps = jnp.asarray(taps, jnp.float32)
+    t = taps.shape[0]
+    k = x.shape[0] - t + 1
+    if k <= 0:
+        return fir_decimate_cc(x, taps, 1, precision)
+    dot = lambda a: jnp.dot(_frames(a, k, t), taps, precision=precision,
+                            preferred_element_type=jnp.float32)
+    return CF(dot(x.re), dot(x.im))
 
 
 def apply_real_fir_ff(x, taps, precision=DEFAULT_PRECISION):
-    return fir_decimate_ff(x, taps, 1, precision)
+    """Valid-mode real FIR as frames @ taps on the MXU — a stride-1 XLA
+    conv lowers ~1000x slower on this TPU backend."""
+    taps = jnp.asarray(taps, jnp.float32)
+    t = taps.shape[0]
+    k = x.shape[0] - t + 1
+    if k <= 0:
+        return fir_decimate_ff(x, taps, 1, precision)
+    return jnp.dot(_frames(jnp.asarray(x, jnp.float32), k, t), taps,
+                   precision=precision, preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
