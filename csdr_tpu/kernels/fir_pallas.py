@@ -92,6 +92,11 @@ def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
                                     precision):
     """Dispatch: Pallas polyphase kernel when shapes align, else XLA conv.
 
+    NOTE: superseded in the hot path by the Toeplitz MXU matmul
+    (fir_decimate_best), which measures faster at every tap length on this
+    chip; the hand-written VPU kernel is retained as the Pallas reference
+    implementation for the memory-bound formulation.
+
     ``xcat`` is a planar CF; its length must satisfy len % D == 0 and provide
     at least kout*D + (M-1)*D samples of slab+halo context (guaranteed by
     fir_decimate_block's round_up(T-1, D) tail).
