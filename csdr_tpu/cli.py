@@ -467,27 +467,32 @@ def _c_limit(args):
 
 @command("clipdetect_ff")
 def _c_clip(args):
+    # in-stream sanitizer (reference csdr.c:1034-1044): the count is read
+    # host-side, so the pump must not jit the apply (jit=False)
+    from csdr_tpu.core.block import Block
     from csdr_tpu.ops import util_ops
 
-    def fn(x):
-        import jax
+    def apply(state, x):
         n = int(util_ops.clipdetect_ff(x))
         if n:
             sys.stderr.write(f"clipdetect_ff: {n} samples clipped\n")
-        return x
-    _stateless_pump(fn, "f", "f")
+        return state, x
+
+    pump(Block("clipdetect", lambda: None, apply), "f", "f", jit=False)
 
 
 @command("detect_nan_ff")
 def _c_nan(args):
+    from csdr_tpu.core.block import Block
     from csdr_tpu.ops import util_ops
 
-    def fn(x):
+    def apply(state, x):
         n = int(util_ops.detect_nan_ff(x))
         if n:
-            sys.stderr.write(f"detect_nan_ff: NaN detected!\n")
-        return x
-    _stateless_pump(fn, "f", "f")
+            sys.stderr.write("detect_nan_ff: NaN detected!\n")
+        return state, x
+
+    pump(Block("detect_nan", lambda: None, apply), "f", "f", jit=False)
 
 
 @command("dcblock_ff")
