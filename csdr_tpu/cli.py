@@ -1301,14 +1301,42 @@ def _c_timing(args):
     from csdr_tpu.ops import sync
     alg = args[0].upper()
     decim = int(args[1])
-    gain = _f(args, 2, 0.5)
-    max_err = _f(args, 3, 2.0)
+    pos = [a for a in args[2:] if not a.startswith("--")]
+    gain = float(pos[0]) if len(pos) > 0 else 0.5
+    max_err = float(pos[1]) if len(pos) > 1 else 2.0
     use_q = "--add_q" in args
     output = "symbols"
     if "--output_error" in args:
         output = "error"
     if "--output_indexes" in args:
         output = "indexes"
+    if "--octave" in args:
+        # debug plots of the sampling points on the signal (reference
+        # octave_plot_point_on_cplxsig, libcsdr.c:1917-1958 + :2046-2052):
+        # plot each chunk's I trace with the chosen symbol-sampling indexes
+        import jax
+        import jax.numpy as jnp
+        from csdr_tpu.core.block import Block
+        blk = sync.timing_recovery_block(alg, decim, gain, max_err, use_q,
+                                         "indexes")
+        inner = jax.jit(blk.apply)
+        print("cf=figure();")
+
+        def apply(state, x):
+            state, out = inner(state, x)
+            m = int(np.asarray(out.count))
+            idx = np.asarray(out.data)[:m]
+            sig = np.asarray(x.re)
+            print("isig=[" + " ".join(f"{v:g}" for v in sig) + "];")
+            print("pts=[" + " ".join(str(int(v) + 1) for v in idx) + "];")
+            print("plot(isig);hold on;scatter(pts,isig(pts),'r');hold off;")
+            sys.stdout.flush()
+            from csdr_tpu.core.block import VarOut
+            return state, VarOut(out.data[:0], jnp.int32(0))
+
+        pump(Block("timing_octave", blk.init, apply), "c", "u32",
+             quantum=decim, jit=False)
+        return
     blk = sync.timing_recovery_block(alg, decim, gain, max_err, use_q, output)
     ofmt = "c" if output == "symbols" else ("f" if output == "error" else "u32")
     pump(blk, "c", ofmt, quantum=decim)
