@@ -266,3 +266,44 @@ def test_fastddc_inv_live_fifo_retune():
     finally:
         p2.kill()
         os.unlink(fifo)
+
+
+def test_csdr_fm_pipeline_over_pipes():
+    """The canonical WFM app (reference csdr-fm:41) as REAL shell-style
+    piped CLI processes: u8 IQ -> convert_u8_f | fmdemod_quadri_cf |
+    fractional_decimator_ff 5 | deemphasis_wfm_ff | convert_f_s16, fed a
+    synthetic FM carrier with a 1 kHz tone; the tone must dominate the
+    decoded audio."""
+    import subprocess
+    fs = 240_000
+    t = np.arange(fs) / fs
+    audio_in = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    phase = 2 * np.pi * np.cumsum(audio_in) * 75_000 / fs
+    iq = np.exp(1j * phase)
+    u8 = np.empty((fs, 2), np.uint8)
+    u8[:, 0] = np.clip(np.round(iq.real * 127 + 127), 0, 255)
+    u8[:, 1] = np.clip(np.round(iq.imag * 127 + 127), 0, 255)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    cmds = [["convert_u8_f"], ["fmdemod_quadri_cf"],
+            ["fractional_decimator_ff", "5"],
+            ["deemphasis_wfm_ff", "48000", "50e-6"], ["convert_f_s16"]]
+    procs = []
+    prev = subprocess.PIPE
+    for i, c in enumerate(cmds):
+        p = subprocess.Popen(
+            [sys.executable, "-m", "csdr_tpu.cli"] + c,
+            stdin=(subprocess.PIPE if i == 0 else procs[-1].stdout),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env)
+        procs.append(p)
+    procs[0].stdin.write(u8.tobytes())
+    procs[0].stdin.close()
+    out = procs[-1].stdout.read()
+    for p in procs:
+        p.wait(timeout=120)
+    audio = np.frombuffer(out, np.int16).astype(np.float32)
+    assert len(audio) > 20_000, len(audio)
+    seg = audio[2000:]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    peak_hz = np.argmax(spec) * 48000 / len(seg)
+    assert abs(peak_hz - 1000) < 10, peak_hz
