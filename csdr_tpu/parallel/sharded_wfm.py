@@ -43,7 +43,8 @@ def build_wfm_bank_step(mesh: Mesh, chan_rates: np.ndarray, taps: np.ndarray,
     taps = np.asarray(taps, np.float32)
     t_len = len(taps)
     tail = ((t_len - 1 + d1 - 1) // d1) * d1          # round_up(T-1, D1)
-    taps_j = jnp.asarray(taps)
+    from csdr_tpu.kernels.fir_pallas import _toeplitz_w
+    toep_w = _toeplitz_w(taps, d1, 128)               # host/static
     n_time = mesh.shape["time"]
     n_chan = mesh.shape["chan"]
     c_total = len(chan_rates)
@@ -64,14 +65,14 @@ def build_wfm_bank_step(mesh: Mesh, chan_rates: np.ndarray, taps: np.ndarray,
         c, s = jnp.cos(ph), jnp.sin(ph)
         yre = xre * c - xi_ * s
         yim = xre * s + xi_ * c
-        # decimating FIR (valid): first nl//d1 + 1 outputs (one extra for demod halo)
+        # decimating FIR (valid): first nl//d1 + 1 outputs (one extra for
+        # demod halo).  Toeplitz MXU matmul — a vmapped strided conv lowers
+        # ~50x slower on this backend (see kernels/fir_pallas.py)
+        from csdr_tpu.kernels.fir_pallas import _fir_decimate_toeplitz
         k1 = nl // d1 + 1
-        lhs = jnp.stack([yre, yim])[:, None, :]
-        out = jax.lax.conv_general_dilated(
-            lhs, taps_j[None, None, :], window_strides=(d1,), padding="VALID",
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)[:, 0, :k1]
-        br, bi = out[0], out[1]
+        k1p = -(-k1 // 128) * 128
+        br, bi = _fir_decimate_toeplitz(yre, yim, toep_w, d1, k1p)
+        br, bi = br[:k1], bi[:k1]
         # quadri demod across the extra leading sample
         di = br[1:] - br[:-1]
         dq = bi[1:] - bi[:-1]

