@@ -128,6 +128,11 @@ def main():
         "value": round(wfm_msps, 1), "unit": "complex Msamples/s/chip",
         "x_realtime_2p4Msps": round(wfm_msps / 2.4, 0),
     }) + "\n")
+    ddc50 = bench_tpu_fastddc(decimation=50, frames=500)
+    sys.stderr.write(json.dumps({
+        "metric": "fastddc 64-channel D=50 (phase-classed inverse)",
+        "value": round(ddc50, 1), "unit": "complex Msamples/s/chip",
+    }) + "\n")
     ddc_tpu = bench_tpu_fastddc()
     ddc_ref1 = bench_ref_fastddc()
     # the reference serves 64 channels with 1 fwd + 64 inv processes; its

@@ -276,7 +276,16 @@ class DdcdServer:
         di = np.asarray(data.im)
         return dr, di, np.asarray(counts)
 
-    def serve(self, stdin=None):
+    def serve(self, stdin=None, input_url: str | None = None):
+        """input_url: 'tcp://host:port' connects the wideband input to a
+        remote stream (e.g. an nmux server) instead of stdin — the
+        composition the reference runs as `nc host port | ddcd` or via
+        nmux fan-out."""
+        if input_url:
+            assert input_url.startswith("tcp://"), input_url
+            host, port = input_url[6:].rsplit(":", 1)
+            insock = socket.create_connection((host, int(port)), timeout=30)
+            stdin = insock.makefile("rb")
         stdin = stdin or sys.stdin.buffer
         lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -332,6 +341,9 @@ def main(argv=None):
     ap.add_argument("--method", choices=["fastddc", "td"], default="fastddc")
     ap.add_argument("--max_channels", type=int, default=8)
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--input", default=None,
+                    help="tcp://host:port wideband input (e.g. from nmux); "
+                         "default stdin")
     args = ap.parse_args(argv)
     import os
     if os.environ.get("JAX_PLATFORMS"):
@@ -341,7 +353,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     srv = DdcdServer(args.decimation, args.bw, args.max_channels,
                      args.method, args.frames, args.port, args.address)
-    srv.serve()
+    srv.serve(input_url=args.input)
     return 0
 
 

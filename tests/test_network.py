@@ -391,3 +391,49 @@ def test_nmux_slow_client_lapped_not_stalling(native_build):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_nmux_feeding_ddcd_over_tcp(native_build):
+    """Composition: nmux fan-out --tcp--> ddcd --input tcp://, client
+    receives its channel — the reference's multi-process topology
+    (rtl_sdr | nmux; nc | ddcd) over real sockets."""
+    nmux_port, ddcd_port = _free_port(), _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    nmux = subprocess.Popen(
+        [str(native_build / "nmux"), "--port", str(nmux_port),
+         "--address", "127.0.0.1", "--bufsize", "16384", "--bufcnt", "256"],
+        stdin=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    ddcd = subprocess.Popen(
+        [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port",
+         str(ddcd_port), "--decimation", "16", "--frames", "4",
+         "--max_channels", "2", "--input", f"tcp://127.0.0.1:{nmux_port}"],
+        stderr=subprocess.DEVNULL, env=env)
+    try:
+        deadline = time.time() + 90
+        while True:
+            try:
+                c = socket.create_connection(("127.0.0.1", ddcd_port),
+                                             timeout=2)
+                break
+            except OSError:
+                assert time.time() < deadline
+                assert ddcd.poll() is None
+                time.sleep(0.3)
+        c.sendall(b"shift=-0.11\n")
+        time.sleep(0.3)
+        x = _tone_mix(1 << 18, (0.11,), (1.0,))
+        nmux.stdin.write(
+            np.stack([x.real, x.imag], -1).astype(np.float32).tobytes())
+        nmux.stdin.flush()
+        d = _recv_n(c, 4096 * 8, timeout=120)
+        y = np.frombuffer(d, np.float32)
+        y = (y[0::2] + 1j * y[1::2])[512:]
+        spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+        peak = np.fft.fftfreq(len(y))[np.argmax(spec)]
+        assert abs(peak) < 0.02, peak
+        c.close()
+    finally:
+        ddcd.terminate()
+        nmux.terminate()
+        ddcd.wait(timeout=15)
+        nmux.wait(timeout=15)
