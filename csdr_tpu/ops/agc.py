@@ -203,10 +203,10 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     (up to associative-scan float reordering).
 
     Returns (y, next_gain, next_hang, converged); thread last_gain AND
-    last_hang across streaming calls.  ``converged`` is STRICT mask
-    self-consistency; it can report False on borderline c == f float ties
-    whose branches are numerically equivalent — treat it as a diagnostic,
-    not a failure bit.
+    last_hang across streaming calls.  ``converged`` means per-chunk mask
+    self-consistency with chunk-boundary gains agreed to ~1e-6 relative;
+    it can report False on borderline float ties whose branches are
+    numerically equivalent — treat it as a diagnostic, not a failure bit.
     """
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
@@ -223,8 +223,7 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     nchunks = xp.shape[0] // chunk
     xc = xp.reshape(nchunks, chunk)
 
-    def chunk_step(carry, xrow):
-        f0, h0, conv = carry
+    def chunk_body(f0, h0, xrow):
         nz = xrow != 0
         c = jnp.where(nz, reference / jnp.maximum(jnp.abs(xrow), 1e-30), 0.0)
 
@@ -273,15 +272,47 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
         # verification: one more round must reproduce the same masks -> the
         # trajectory satisfies the sequential recurrence exactly
         f2, (a2, c2), (dc, last) = trajectory_step(f)
-        conv = conv & jnp.all(a2 == attack) & jnp.all(c2 == clip_hi)
+        conv = jnp.all(a2 == attack) & jnp.all(c2 == clip_hi)
         h_out = jnp.clip(jnp.where(last[-1] > neg // 2,
                                    hang_time - (dc[-1] - last[-1]), 0),
                          0, hang_time)
-        return (f[-1], h_out.astype(jnp.int32), conv), f
+        return f, h_out.astype(jnp.int32), conv
 
-    (f_end, h_end, converged), frows = jax.lax.scan(
-        chunk_step, (f0g, jnp.asarray(last_hang, jnp.int32),
-                     jnp.bool_(True)), xc)
+    # OUTER waveform relaxation over chunk boundaries: all chunks run in
+    # PARALLEL (vmapped) seeded with guessed entry (gain, hang); each outer
+    # round replaces entries with the previous chunk's exits.  Chunk 0 is
+    # exact after round 1, chunk k after round k+1, so the loop reaches the
+    # exact sequential fixpoint in <= nchunks rounds (usually 2-4: boundary
+    # gains settle fast) — replacing the serial chunk scan entirely.
+    vchunks = jax.vmap(chunk_body)
+    h0i = jnp.asarray(last_hang, jnp.int32)
+    ef0 = jnp.full((nchunks,), f0g, jnp.float32)
+    eh0 = jnp.full((nchunks,), h0i, jnp.int32)
+    frows0 = jnp.zeros((nchunks, chunk), jnp.float32)
+
+    def outer_cond(st):
+        i, stable, *_ = st
+        return (~stable) & (i <= nchunks + 1)
+
+    def outer_body(st):
+        i, _, ef, eh, _f, _h, _c = st
+        frows, houts, convs = vchunks(ef, eh, xc)
+        new_ef = jnp.concatenate([jnp.reshape(f0g, (1,)), frows[:-1, -1]])
+        new_eh = jnp.concatenate([jnp.reshape(h0i, (1,)), houts[:-1]])
+        # early stop on ~1e-6 relative boundary-gain agreement (the exact
+        # bitwise wave needs a full nchunks rounds; the trajectories agree
+        # to float noise long before that)
+        close = jnp.all(jnp.abs(new_ef - ef) <=
+                        1e-6 * jnp.maximum(jnp.abs(ef), 1e-3))
+        stable = close & jnp.all(new_eh == eh)
+        return (i + 1, stable, new_ef, new_eh, frows, houts[-1],
+                jnp.all(convs))
+
+    (_i, stable, _ef, _eh, frows, h_end, conv_all) = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), jnp.bool_(False), ef0, eh0, frows0, h0i,
+         jnp.bool_(False)))
+    converged = stable & conv_all
     f_all = frows.reshape(-1)[:m]
     # the reference emits with the UPDATED filtered gain (y = gain_filt * x)
     y = jnp.concatenate([jnp.reshape(f0g * x[0], (1,)), f_all * body_in])
