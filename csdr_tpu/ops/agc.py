@@ -66,14 +66,9 @@ def simple_agc_cc(x: CF, rate, reference=1.0, max_gain=65535.0, current_gain=1.0
     a = jnp.float32(1.0 - 2.0 * rate)
     b = (rate * ideal).astype(jnp.float32)
     n = x.shape[0]
-
-    def combine(l, r):
-        al, bl = l
-        ar, br = r
-        return al * ar, bl * ar + br
-
-    ca, cb = jax.lax.associative_scan(combine, (jnp.full((n,), a), b))
-    g = ca * jnp.asarray(current_gain, jnp.float32) + cb
+    from csdr_tpu.ops.demod import _affine_prefix_2level
+    g = _affine_prefix_2level(jnp.full((n,), a), b,
+                              jnp.asarray(current_gain, jnp.float32))
     return x * g, g[-1]
 
 
