@@ -307,3 +307,23 @@ def test_csdr_fm_pipeline_over_pipes():
     spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
     peak_hz = np.argmax(spec) * 48000 / len(seg)
     assert abs(peak_hz - 1000) < 10, peak_hz
+
+
+def test_fixed_bufsize_env():
+    """CSDR_FIXED_BUFSIZE controls the pump chunk (reference parse_env,
+    csdr.c:394-417) — output must be identical regardless of chunking."""
+    import subprocess
+    x = (0.3 * np.random.default_rng(1).standard_normal(40000)).astype(np.float32)
+    outs = []
+    for bufsize in (None, "1000", "16384"):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        if bufsize:
+            env["CSDR_FIXED_BUFSIZE"] = bufsize
+        r = subprocess.run([sys.executable, "-m", "csdr_tpu.cli",
+                            "gain_ff", "3.0"],
+                           input=x.tobytes(), capture_output=True,
+                           timeout=300, env=env)
+        assert r.returncode == 0
+        outs.append(np.frombuffer(r.stdout, np.float32))
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
