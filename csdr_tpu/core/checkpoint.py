@@ -35,10 +35,19 @@ def load_state(path: str, like) -> object:
     ``like`` must have the checkpoint's structure: use ``block.init()``,
     or — for blocks whose state is lazily sized on the first apply (e.g.
     the fractional decimator) — the carry after one apply on a dummy chunk.
-    Shapes and dtypes are checked leaf by leaf so a mismatched pipeline
-    fails loudly, not numerically."""
+    Tree structure (stored treedef vs ``like``'s), shapes, and dtypes are
+    all checked leaf by leaf so a mismatched pipeline fails loudly, not
+    numerically."""
     with np.load(path) as z:
         leaves_like, treedef = jax.tree_util.tree_flatten(like)
+        if "__treedef__" in z.files:
+            stored = bytes(z["__treedef__"]).decode()
+            want = json.dumps(_treedef_repr(treedef))
+            if stored != want:
+                raise ValueError(
+                    "checkpoint tree structure does not match pipeline "
+                    f"state:\n  checkpoint: {json.loads(stored)}\n"
+                    f"  state:      {_treedef_repr(treedef)}")
         n = sum(1 for k in z.files if k.startswith("leaf_"))
         if n != len(leaves_like):
             raise ValueError(
@@ -52,7 +61,11 @@ def load_state(path: str, like) -> object:
                 raise ValueError(
                     f"leaf {i}: checkpoint shape {a.shape} != "
                     f"state shape {ref_arr.shape}")
-            leaves.append(a.astype(ref_arr.dtype))
+            if a.dtype != ref_arr.dtype:
+                raise ValueError(
+                    f"leaf {i}: checkpoint dtype {a.dtype} != "
+                    f"state dtype {ref_arr.dtype}")
+            leaves.append(a)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

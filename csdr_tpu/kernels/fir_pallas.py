@@ -130,8 +130,10 @@ def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
 # "shifted-taps" matrix is nearly free: with an output tile of R=128,
 # y[R*j + r] = sum_t x[(R*j+r)*D + t] * h[t] = slab_j @ W where
 # slab_j = x[R*j*D : R*j*D + (R-1)*D + T] and W[(r*D + t), r] = h[t].
-# W has T/((R-1)*D+T) density — e.g. 45% at T=1023, D=10 — so the MXU does
-# only ((R-1)*D+T)/T ~ 1.12x the ideal MACs.  This is the classic
+# W has T/((R-1)*D+T) density — e.g. 45% at T=1023, D=10, R=128 — so the MXU
+# does ((R-1)*D+T)/T x the ideal MACs: ~2.24x at R=128 but only ~1.3x at
+# R=512 and ~1.15x at R=1024 (larger output tiles amortize the slab overlap;
+# see bench_roofline.py for the measured tile sweep).  This is the classic
 # conv-as-Toeplitz-matmul, profitable exactly where the VPU kernel above
 # (memory-bound regime, T/D small) stops being the bottleneck.
 

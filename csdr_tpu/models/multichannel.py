@@ -111,8 +111,15 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
     def init(n_wideband: int):
         """n_wideband: wideband chunk length (per step), to size the modem
         input buffers: m = per-channel samples per chunk."""
-        ins, pis, post = meta["input_size"], meta["post_input"], meta["post"]
-        m = (n_wideband // ins) * pis // post
+        ins = meta["input_size"]
+        # per-channel samples per chunk, from the channelizer's classed
+        # plan: frames are processed in groups of q emitting group_out
+        # samples each (fused path: q=1, group_out=post_input/post) —
+        # (frames*pis)//post over-counts when pis % post != 0 (ADVICE r1)
+        frames = n_wideband // ins
+        q, ga = meta["q"], meta["group_out"]
+        assert frames % q == 0, (frames, q)
+        m = (frames // q) * ga
         sh = NamedSharding(mesh, P("chan"))
 
         def put(a):

@@ -206,6 +206,12 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     f0g = jnp.float32(last_gain)
+    h0_in = jnp.asarray(last_hang, jnp.int32)
+    # degenerate streams (<= 1 sample, e.g. a 1-sample final EOF chunk):
+    # the body scan is empty — emit last_gain*x[0] (or nothing) and carry
+    # the state through unchanged, exactly like agc_ff()'s scan path.
+    if n <= 1:
+        return f0g * x, f0g, h0_in, jnp.bool_(True)
     one_m_alpha = jnp.float32(1.0 - gain_filter_alpha)
     neg = jnp.int32(-(1 << 30))
 
@@ -244,7 +250,11 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
                              jnp.where(decay & ~frozen, decay_rate, 0.0)
                              ).astype(jnp.float32)
             gain_pred = f_prev + rate * (c - f_prev)
-            clip_hi = nz & (gain_pred > max_gain)
+            # the reference clips OUTSIDE the input!=0 branch
+            # (libcsdr_gpl.c `if(gain>max_gain)` runs every sample), so a
+            # zero/frozen step (rate=0, gain_pred=f_prev) must also clamp —
+            # else a long zero run grows f by (2-alpha)/step unboundedly.
+            clip_hi = gain_pred > max_gain
             a = jnp.where(clip_hi, one_m_alpha,
                           (1.0 - rate) + one_m_alpha).astype(jnp.float32)
             b = jnp.where(clip_hi, max_gain, rate * c).astype(jnp.float32)
@@ -280,7 +290,7 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     # exact sequential fixpoint in <= nchunks rounds (usually 2-4: boundary
     # gains settle fast) — replacing the serial chunk scan entirely.
     vchunks = jax.vmap(chunk_body)
-    h0i = jnp.asarray(last_hang, jnp.int32)
+    h0i = h0_in
     ef0 = jnp.full((nchunks,), f0g, jnp.float32)
     eh0 = jnp.full((nchunks,), h0i, jnp.int32)
     frows0 = jnp.zeros((nchunks, chunk), jnp.float32)

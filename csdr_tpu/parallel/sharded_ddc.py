@@ -172,7 +172,7 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
         return CF(yr, yi)
 
     meta = dict(input_size=ins, overlap=ov, post_input=pis, post=post,
-                channels=c_total)
+                channels=c_total, q=q, group_out=ga)
     return step, meta
 
 

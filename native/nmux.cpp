@@ -11,8 +11,9 @@
 // Design differences from the reference (not a translation): buffer
 // hand-off is the seq-numbered TsmPool (tsmpool.hpp); client threads are
 // std::thread detached against an atomic live-count; the accept loop uses
-// poll(2); partial stdin reads are accumulated so published buffers are
-// always exactly bufsize bytes (the reference publishes partial buffers).
+// poll(2); partial stdin reads are accumulated into full bufsize buffers,
+// and the final partial buffer at EOF is published with its exact length
+// (like the reference) so no tail bytes of a finite stream are lost.
 #include "tsmpool.hpp"
 
 #include <arpa/inet.h>
@@ -36,9 +37,9 @@ std::atomic<int> n_clients{0};
 
 void client_loop(int fd, TsmPool* pool) {
   TsmPool::Reader r = pool->register_reader();
-  const std::size_t bs = pool->buf_size();
   for (;;) {
-    const char* buf = pool->read_next(r, /*wait=*/true);
+    std::size_t bs = 0;
+    const char* buf = pool->read_next(r, /*wait=*/true, &bs);
     if (!buf) break;                       // producer EOF
     std::size_t off = 0;
     while (off < bs) {
@@ -127,6 +128,7 @@ int main(int argc, char** argv) {
                          static_cast<std::size_t>(bufsize) - fill);
       if (got <= 0) {
         stdin_open = false;
+        if (fill > 0) pool.commit(fill);   // publish partial tail on EOF
         pool.close();
         break;
       }

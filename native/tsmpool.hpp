@@ -23,7 +23,8 @@
 class TsmPool {
  public:
   TsmPool(std::size_t buf_size, std::size_t depth)
-      : buf_size_(buf_size), depth_(depth), data_(buf_size * depth) {}
+      : buf_size_(buf_size), depth_(depth), data_(buf_size * depth),
+        lens_(depth, buf_size) {}
 
   std::size_t buf_size() const { return buf_size_; }
   std::size_t depth() const { return depth_; }
@@ -32,13 +33,18 @@ class TsmPool {
   // to the next slot.  Single writer only.
   char* write_buffer() { return &data_[(write_seq_ % depth_) * buf_size_]; }
 
-  void commit() {
+  // `len` <= buf_size publishes a short (partial) buffer — used for the
+  // final tail of a finite stream, which the reference's nmux also
+  // publishes rather than dropping.
+  void commit(std::size_t len) {
     {
       std::lock_guard<std::mutex> lk(mu_);
+      lens_[write_seq_ % depth_] = len;
       ++write_seq_;
     }
     cv_.notify_all();
   }
+  void commit() { commit(buf_size_); }
 
   // EOF: wake all blocked readers; read_next() returns nullptr once drained.
   void close() {
@@ -71,13 +77,14 @@ class TsmPool {
   // to the oldest live buffer.  The returned pointer stays valid until the
   // reader falls a full depth behind again — consumers are expected to copy
   // or send() it promptly, exactly like the reference's client threads.
-  const char* read_next(Reader& r, bool wait) {
+  const char* read_next(Reader& r, bool wait, std::size_t* len = nullptr) {
     std::unique_lock<std::mutex> lk(mu_);
     for (;;) {
       if (r.next_seq < write_seq_) {
         if (write_seq_ - r.next_seq >= depth_)       // lapped: drop oldest
           r.next_seq = write_seq_ - depth_ + 1;
         const char* p = &data_[(r.next_seq % depth_) * buf_size_];
+        if (len) *len = lens_[r.next_seq % depth_];
         ++r.next_seq;
         return p;
       }
@@ -89,6 +96,7 @@ class TsmPool {
  private:
   const std::size_t buf_size_, depth_;
   std::vector<char> data_;
+  std::vector<std::size_t> lens_;
   mutable std::mutex mu_;
   std::condition_variable cv_;
   std::uint64_t write_seq_ = 0;

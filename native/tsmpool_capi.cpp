@@ -52,4 +52,27 @@ int tsmpool_read(tsmpool_handle* h, int reader_id, char* out, int wait) {
   return 1;
 }
 
+// Partial-buffer variants (finite-stream tails): write/read with an explicit
+// byte length <= buf_size.  tsmpool_read_len returns the buffer's published
+// length, or -1 if none available.
+void tsmpool_write_len(tsmpool_handle* h, const char* data, int len) {
+  std::memcpy(h->pool.write_buffer(), data, static_cast<std::size_t>(len));
+  h->pool.commit(static_cast<std::size_t>(len));
+}
+
+int tsmpool_read_len(tsmpool_handle* h, int reader_id, char* out, int wait) {
+  TsmPool::Reader* r;
+  {
+    std::lock_guard<std::mutex> lk(h->reg_mu);
+    auto it = h->readers.find(reader_id);
+    if (it == h->readers.end()) return -1;
+    r = &it->second;
+  }
+  std::size_t len = 0;
+  const char* p = h->pool.read_next(*r, wait != 0, &len);
+  if (!p) return -1;
+  std::memcpy(out, p, len);
+  return static_cast<int>(len);
+}
+
 }  // extern "C"

@@ -68,3 +68,39 @@ def test_agc_chunked_matches_scan():
     st, y2 = blk.apply(st, jnp.asarray(s[n // 2:]))
     y_stream = np.concatenate([np.asarray(y1), np.asarray(y2)])
     assert_snr(np.asarray(y_ref), y_stream, 75, "agc chunked streaming")
+
+
+def test_agc_chunked_degenerate_tail():
+    """A 0- or 1-sample chunk (e.g. the final EOF chunk of a stream whose
+    length is bufsize*k+1) must not crash and must carry state through
+    unchanged (ADVICE r1: IndexError on size-0 chunk axis)."""
+    y, g, h, conv = agc.agc_ff_chunked(jnp.zeros((0,), jnp.float32),
+                                       last_gain=2.5, last_hang=7)
+    assert y.shape == (0,) and float(g) == 2.5 and int(h) == 7
+    y, g, h, conv = agc.agc_ff_chunked(jnp.asarray([0.5], jnp.float32),
+                                       last_gain=2.0, last_hang=3)
+    assert np.allclose(np.asarray(y), [1.0]) and float(g) == 2.0 and int(h) == 3
+    # streaming: block split at n-1/1 == unsplit
+    rng = np.random.default_rng(5)
+    s = (0.2 * rng.standard_normal(4097)).astype(np.float32)
+    y_ref, _ = agc.agc_ff(jnp.asarray(s))
+    blk = agc.agc_block()
+    st = blk.init()
+    st, y1 = blk.apply(st, jnp.asarray(s[:-1]))
+    st, y2 = blk.apply(st, jnp.asarray(s[-1:]))
+    y_stream = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    assert_snr(np.asarray(y_ref), y_stream, 75, "agc 1-sample tail")
+
+
+def test_agc_chunked_max_gain_on_zero_run():
+    """Long zero run with gain near max_gain: the reference clamps gain
+    every sample (outside the input!=0 branch), so the filtered gain must
+    settle at ~max_gain*(2-alpha), not grow by (2-alpha)^k (ADVICE r1)."""
+    n = 20_000
+    s = np.full(n, 1e-6, np.float32)  # drives gain to max fast
+    s[4096:] = 0.0                    # then a long zero run
+    y_ref, g_ref = agc.agc_ff(jnp.asarray(s), max_gain=100.0)
+    y_c, g_c, _, _ = agc.agc_ff_chunked(jnp.asarray(s), max_gain=100.0)
+    assert np.isfinite(np.asarray(y_c)).all()
+    assert abs(float(g_c) - float(g_ref)) / max(abs(float(g_ref)), 1e-9) < 1e-3
+    assert_snr(np.asarray(y_ref), np.asarray(y_c), 80, "agc zero-run clamp")

@@ -74,6 +74,31 @@ def test_checkpoint_shape_mismatch_fails_loudly():
         os.unlink(path)
 
 
+def test_checkpoint_treedef_and_dtype_mismatch_fail_loudly():
+    """Same leaf count/shapes but different tree STRUCTURE must be rejected
+    (stored treedef compared on load), and a dtype mismatch must raise
+    instead of silently coercing (ADVICE r1)."""
+    import pytest
+    import jax.numpy as jnp
+    a = jnp.zeros((4,), jnp.float32)
+    b = jnp.ones((4,), jnp.float32)
+    path = tempfile.mktemp(suffix=".npz")
+    try:
+        checkpoint.save_state(path, (a, (b,)))
+        # identical leaves, different nesting -> treedef mismatch
+        with pytest.raises(ValueError, match="tree structure"):
+            checkpoint.load_state(path, ((a,), (b,)))
+        # right structure, wrong dtype -> dtype mismatch
+        with pytest.raises(ValueError, match="dtype"):
+            checkpoint.load_state(
+                path, (a, (jnp.ones((4,), jnp.int32),)))
+        # exact structure restores fine
+        st = checkpoint.load_state(path, (a, (b,)))
+        np.testing.assert_array_equal(np.asarray(st[1][0]), np.ones(4))
+    finally:
+        os.unlink(path)
+
+
 def test_flagship_sharded_state_checkpoint_roundtrip():
     """Checkpoint/resume of the DISTRIBUTED pipeline: snapshot the
     flagship's chan-sharded modem state mid-stream, restore into a fresh

@@ -86,6 +86,38 @@ def test_flagship_multichannel_bpsk31():
         assert ber < 0.02, (c, ber, errs, total)
 
 
+def test_flagship_classed_decimation_buffer_sizing():
+    """D=50 (pis % post != 0 -> phase-classed channelizer): the modem
+    buffer size from init() must match the bank's actual per-channel
+    output length per step (ADVICE r1: (frames*pis)//post over-counted
+    for classed plans)."""
+    decim = 50
+    sps = 64
+    mesh = _mesh(2, 4)
+    ddc = fd.fastddc_init(0.05, decim)
+    assert ddc.post_input_size % ddc.post_decimation != 0, \
+        "test needs a classed decimation"
+    init, step, meta = multichannel.build_ddc_bpsk31_bank(
+        mesh, [-0.2, 0.1, 0.25, -0.05], decim, sps)
+    n_time = mesh.shape["time"]
+    q, ga, ins = meta["q"], meta["group_out"], meta["input_size"]
+    n = n_time * q * ins * 2            # 2 groups per shard
+    state = init(n)
+    m = (n // ins // q) * ga
+    # TED buffer = per-chunk channel samples + the TED's 4*sps margin
+    assert state[0].shape == (4, m + 4 * sps)
+    rng = np.random.default_rng(11)
+    sh = NamedSharding(mesh, P("time"))
+    x = CF(jax.device_put(jnp.asarray(
+               rng.standard_normal(n), jnp.float32), sh),
+           jax.device_put(jnp.asarray(
+               rng.standard_normal(n), jnp.float32), sh))
+    state, (bits, counts) = jax.block_until_ready(step(state, x))
+    assert np.asarray(bits).shape[0] == 4
+    # second step reuses the carried state (shape-stable streaming)
+    state, _ = jax.block_until_ready(step(state, x))
+
+
 @pytest.mark.parametrize("use_costas", [True, False])
 def test_flagship_costas_recovers_carrier_offset(use_costas):
     """With a residual carrier offset too large for DBPSK alone, the

@@ -103,6 +103,52 @@ def test_nmux_two_clients(native_build):
         proc.wait(timeout=10)
 
 
+def test_nmux_partial_tail_published(native_build):
+    """A finite stream whose length is NOT a multiple of bufsize must be
+    delivered in full: the partial final buffer is published at EOF with its
+    exact length (ADVICE r1: tail bytes were silently dropped)."""
+    port = _free_port()
+    payload = bytes(range(256)) * 17 + b"TAIL!"   # 4357 bytes, bufsize 1024
+    proc = subprocess.Popen(
+        [str(native_build / "nmux"), "--port", str(port),
+         "--address", "127.0.0.1", "--bufsize", "1024", "--bufcnt", "16"],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        time.sleep(0.3)
+        c1 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        time.sleep(0.2)
+        proc.stdin.write(payload)
+        proc.stdin.close()
+        d1 = _recv_n(c1, len(payload))
+        assert d1 == payload
+        c1.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+def test_tsmpool_partial_len_abi(native_build):
+    """tsmpool_write_len/tsmpool_read_len round-trip short buffers."""
+    lib = ctypes.CDLL(str(native_build / "libtsmpool.so"))
+    lib.tsmpool_new.restype = ctypes.c_void_p
+    lib.tsmpool_new.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+    lib.tsmpool_write_len.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int]
+    lib.tsmpool_register_reader.argtypes = [ctypes.c_void_p]
+    lib.tsmpool_read_len.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_char_p, ctypes.c_int]
+    lib.tsmpool_delete.argtypes = [ctypes.c_void_p]
+    h = lib.tsmpool_new(8, 4)
+    r = lib.tsmpool_register_reader(h)
+    lib.tsmpool_write_len(h, b"12345678", 8)
+    lib.tsmpool_write_len(h, b"xyz", 3)
+    out = ctypes.create_string_buffer(8)
+    assert lib.tsmpool_read_len(h, r, out, 0) == 8 and out.raw == b"12345678"
+    assert lib.tsmpool_read_len(h, r, out, 0) == 3 and out.raw[:3] == b"xyz"
+    assert lib.tsmpool_read_len(h, r, out, 0) == -1
+    lib.tsmpool_delete(h)
+
+
 def _tone_mix(fs_n, rates, amps, seed=0):
     """Wideband: sum of complex tones at given normalized rates."""
     n = np.arange(fs_n)

@@ -22,7 +22,7 @@ def _mesh(chan, time):
 def test_wfm_bank_mesh_shape_invariance(chan, time):
     """Same input, different mesh factorizations -> identical audio."""
     n = 8 * 12800  # divisible by 8 shards * d1*d2=50
-    step1, x = sharded_wfm.example_bank(_mesh(1, 1) if False else _mesh(chan, time), n)
+    step1, x = sharded_wfm.example_bank(_mesh(chan, time), n)
     ref_step, _ = sharded_wfm.example_bank(_mesh(8, 1), n)
     a = np.asarray(jax.block_until_ready(step1(x)))
     b = np.asarray(jax.block_until_ready(ref_step(x)))
