@@ -1,0 +1,150 @@
+"""Roofline sweep + accounting for the metric kernels (VERDICT r1 item #1).
+
+Measures, on the attached chip:
+  1. the chip's ceilings (HBM triad bandwidth, MXU matmul rate per
+     precision) via csdr_tpu.utils.roofline;
+  2. fir_decimate_cc (D=10, T=1023 — the test200.c:42-124 configuration,
+     and D=10, T=81) across Toeplitz tile R x matmul precision;
+  3. the fastddc 64-channel fused inverse;
+and prints a JSON roofline account per kernel: achieved GB/s + Tflops,
+MAC overhead of the formulation, the binding resource, and
+pct_of_roofline (fraction of the chip's speed-of-light for the algorithm).
+
+Run on the real chip: `python bench_roofline.py` (axon default).
+CPU smoke test: `python bench_roofline.py --platform cpu --quick`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def fir_flops(kout: int, t: int, d: int, tile_r: int | None):
+    """(actual, ideal) flops for one decimating-FIR call.
+
+    Ideal: 2 planes x T real MACs x 2 flops per output.
+    Toeplitz actual: slab_len = (R-1)*D+T MACs per output per plane."""
+    ideal = 4.0 * t * kout
+    if tile_r is None:
+        return ideal, ideal
+    slab = (tile_r - 1) * d + t
+    return 4.0 * slab * kout, ideal
+
+
+def bench_fir(tile_r: int, precision_name: str, d=10, taps_len=1023,
+              kout=512 * 128):
+    import jax
+    from csdr_tpu import firdes
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.kernels.fir_pallas import fir_decimate_best
+    from csdr_tpu.utils.timing import time_kernel
+    import numpy as np
+
+    prec = getattr(jax.lax.Precision, precision_name)
+    taps = jax.numpy.asarray(firdes.firdes_lowpass_f(taps_len, 0.5 / d))
+    n = kout * d
+    tail = ((taps_len - 1 + d - 1) // d) * d
+    rng = np.random.default_rng(0)
+    x = CF(jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)),
+           jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)))
+    per = time_kernel(
+        lambda x: fir_decimate_best(x, taps, d, kout, prec, tile_r=tile_r), x)
+    msps = n / per / 1e6
+    # compulsory HBM traffic: planar complex in (8 B/sample) + out
+    bytes_moved = 8.0 * (n + kout)
+    return per, msps, bytes_moved
+
+
+def bench_fastddc(decimation=16, channels=64, frames=1024):
+    import jax
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import fastddc as fd
+    from csdr_tpu.utils.timing import time_kernel
+    import numpy as np
+
+    ddc = fd.fastddc_init(0.05, decimation)
+    rng = np.random.default_rng(0)
+    rates = rng.uniform(-0.4, 0.4, channels)
+    fwd = fd.fastddc_fwd_block(ddc)
+    inv = fd.fastddc_inv_block(ddc, rates)
+    n = frames * ddc.input_size
+    x = CF(jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)),
+           jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)))
+    s0 = (fwd.init(), inv.init())
+
+    def kernel(arg):
+        s, x = arg
+        _, spectra = fwd.apply(s[0], x)
+        _, out = inv.apply(s[1], spectra)
+        return out.data
+
+    per = time_kernel(kernel, (s0, x))
+    # flops: fwd FFT (planar radix-2: ~5 N log2 N real flops per frame,
+    # counted on the fft_size grid) + fused inverse matmul
+    # spectra (frames, fft) @ G (fft, C*m) complex x complex = 8 real
+    # flops per MAC (4 mult + 4 add in planar form).
+    import math
+    fft = ddc.fft_size
+    f_fft = 5.0 * fft * math.log2(fft) * frames
+    m_out = ddc.post_input_size // ddc.post_decimation
+    f_inv = 8.0 * frames * fft * channels * m_out
+    # ideal inverse = per-channel folded spectrum (fft/D taps per output):
+    # same matmul but only the nonzero fold diagonal -> fft/D MACs/output
+    f_inv_ideal = 8.0 * frames * (fft // decimation) * channels * m_out
+    bytes_moved = 8.0 * (n + frames * fft + frames * channels * m_out)
+    return per, n / per / 1e6, bytes_moved, f_fft + f_inv, f_fft + f_inv_ideal
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from csdr_tpu.utils import roofline
+
+    peaks = roofline.device_peaks(
+        precisions=("HIGHEST", "HIGH") if not args.quick
+        else ("HIGHEST",))
+    print(json.dumps({"peaks": peaks}))
+    sys.stdout.flush()
+
+    kout = 128 * 128 if args.quick else 512 * 128
+    tiles = [128] if args.quick else [64, 128, 256, 512]
+    precisions = ["HIGHEST"] if args.quick else ["HIGHEST", "HIGH"]
+    best = None
+    for taps_len in ([1023] if args.quick else [81, 1023]):
+        for tr in tiles:
+            for pn in precisions:
+                per, msps, byts = bench_fir(tr, pn, taps_len=taps_len,
+                                            kout=kout)
+                fl, fl_ideal = fir_flops(kout, taps_len, 10, tr)
+                acct = roofline.account(
+                    f"fir_decimate D=10 T={taps_len} R={tr}", per, byts,
+                    fl, peaks, pn, fl_ideal)
+                acct["Msps"] = round(msps, 1)
+                print(json.dumps(acct))
+                sys.stdout.flush()
+                if taps_len == 1023 and (best is None or msps > best[0]):
+                    best = (msps, tr, pn, acct)
+
+    per, msps, byts, fl, fl_ideal = bench_fastddc(
+        frames=64 if args.quick else 1024)
+    acct = roofline.account("fastddc 64ch D=16 fwd+inv", per, byts, fl,
+                            peaks, "HIGH", fl_ideal)
+    acct["Msps"] = round(msps, 1)
+    print(json.dumps(acct))
+    if best:
+        print(json.dumps({"best_fir_config": {
+            "Msps": round(best[0], 1), "tile_r": best[1],
+            "precision": best[2], "pct_of_roofline":
+            best[3]["pct_of_roofline"]}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,9 +131,10 @@ def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
 # y[R*j + r] = sum_t x[(R*j+r)*D + t] * h[t] = slab_j @ W where
 # slab_j = x[R*j*D : R*j*D + (R-1)*D + T] and W[(r*D + t), r] = h[t].
 # W has T/((R-1)*D+T) density — e.g. 45% at T=1023, D=10, R=128 — so the MXU
-# does ((R-1)*D+T)/T x the ideal MACs: ~2.24x at R=128 but only ~1.3x at
-# R=512 and ~1.15x at R=1024 (larger output tiles amortize the slab overlap;
-# see bench_roofline.py for the measured tile sweep).  This is the classic
+# does ((R-1)*D+T)/T = 1 + (R-1)*D/T x the ideal MACs: ~2.24x at R=128,
+# growing with R (~5.99x at R=512) and shrinking below it (1.30x at R=32) —
+# but tiles below 128 pad the MXU's 128-lane N dim, wasting exactly what the
+# density saves (bench_roofline.py measures the sweep).  This is the classic
 # conv-as-Toeplitz-matmul, profitable exactly where the VPU kernel above
 # (memory-bound regime, T/D small) stops being the bottleneck.
 
@@ -187,7 +188,8 @@ def _toeplitz_w(taps: np.ndarray, d: int, r: int):
 
 
 def fir_decimate_best(xcat, taps, decimation: int, kout: int,
-                      precision=jax.lax.Precision.HIGHEST):
+                      precision=jax.lax.Precision.HIGHEST,
+                      tile_r: int = 128):
     """Kernel dispatch: MXU Toeplitz matmul on TPU (measured fastest at ALL
     tap lengths on this hardware — ~50 Gsps at 81 taps, ~20 Gsps at 1023
     taps, despite the W-matrix density waste at short taps; the VPU
@@ -196,6 +198,11 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
     precision: HIGHEST (default) holds ~128 dB SNR vs the reference C;
     Precision.HIGH is ~43% faster at long taps (~98 dB SNR) when the
     pipeline tolerates bf16x3 accumulation.
+
+    tile_r: Toeplitz output tile (the matmul's N dim).  MAC overhead is
+    1 + (tile_r-1)*D/T — smaller tiles are denser but pad the MXU's
+    128-lane N dimension; 128 is both the densest full-lane tile and the
+    measured optimum (bench_roofline.py sweeps it).
     """
     from csdr_tpu.core.cplx import CF
     from csdr_tpu.ops.fir import fir_decimate_cc
@@ -204,10 +211,10 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
     t = taps.shape[0]
     if jax.default_backend() != "tpu":
         return fir_decimate_cc(xcat, taps, d, precision)[:kout]
-    # round kout up to the Toeplitz kernel's 128-row tile, zero-padding the
-    # input as needed: the padded tail costs <1 tile of work, while the
+    # round kout up to the Toeplitz kernel's tile_r-row tile, zero-padding
+    # the input as needed: the padded tail costs <1 tile of work, while the
     # conv fallback for a ragged kout is ~100x slower at long taps
-    kout_pad = -(-kout // 128) * 128
+    kout_pad = -(-kout // tile_r) * tile_r
     need = (kout_pad - 1) * d + t
     if xcat.shape[0] < need:
         pad = need - xcat.shape[0]
@@ -215,6 +222,6 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
                   jnp.concatenate([xcat.im, jnp.zeros((pad,), xcat.im.dtype)]))
     # W must be built from CONCRETE taps (host-side); taps captured as a
     # constant in the enclosing trace are still concrete here.
-    w = _toeplitz_w(np.asarray(taps), d, 128)
+    w = _toeplitz_w(np.asarray(taps), d, tile_r)
     yr, yi = _fir_decimate_toeplitz(xcat.re, xcat.im, w, d, kout_pad, precision)
     return CF(yr[:kout], yi[:kout])

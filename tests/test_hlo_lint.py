@@ -1,0 +1,155 @@
+"""TPU-pathology lint over every major pipeline (the parsevect equivalent,
+reference Makefile:58-60 + parsevect:1-83; VERDICT r1 item #4).
+
+Each registered receiver/op pipeline is traced on a representative shape
+(with the backend spoofed to 'tpu' so TPU-gated dispatches take their real
+path) and its jaxpr is asserted free of the documented ~100x cliffs:
+traced-index bulk gathers, bulk constant-index gathers (x[::k] lowers to
+one), large strided slices, stride-1 convs.  A deliberately-bad pattern
+(the retained gather-based fastddc inverse) must be FLAGGED, proving the
+lint has teeth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csdr_tpu.core.cplx import CF
+from csdr_tpu.utils.hlo_lint import lint_fn
+
+
+def _noise_cf(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return CF(jnp.asarray(rng.standard_normal(n), jnp.float32),
+              jnp.asarray(rng.standard_normal(n), jnp.float32))
+
+
+def _assert_clean(fn, *args, allow=()):
+    findings = [f for f in lint_fn(fn, *args) if f.kind not in allow]
+    assert not findings, "\n".join(str(f) for f in findings)
+
+
+def _block_fn(pipe):
+    def fn(state, x):
+        st, y = pipe.apply(state, x)
+        return getattr(y, "data", y)
+    return fn
+
+
+def test_receiver_pipelines_clean():
+    from csdr_tpu.models import receivers, wfm
+    n = 240_000
+    for mk, blocklen in [(lambda: wfm.wfm_basic(), 24_000),
+                         (lambda: wfm.wfm_advanced(shift_rate=-0.2), n),
+                         (lambda: receivers.nfm_receiver(), n),
+                         (lambda: receivers.am_receiver(), n),
+                         (lambda: receivers.ssb_receiver(), 50 * 176 * 10)]:
+        pipe = mk()
+        st = pipe.init()
+        _assert_clean(_block_fn(pipe), st, _noise_cf(blocklen))
+
+
+def test_fir_and_resamp_clean():
+    from csdr_tpu import firdes
+    from csdr_tpu.ops import fir, resamp
+    taps = jnp.asarray(firdes.firdes_lowpass_f(1023, 0.05))
+    blk = fir.fir_decimate_block(taps, 10)
+    _assert_clean(_block_fn(blk), blk.init(), _noise_cf(512_000))
+    # rational resampler 3/2
+    taps2 = jnp.asarray(firdes.firdes_lowpass_f(121, 0.2))
+    rr = fir.rational_resampler_block(taps2, 3, 2)
+    _assert_clean(_block_fn(rr), rr.init(), _noise_cf(120_000).re)
+    # fractional decimator, integer rate fast path
+    fdec = resamp.fractional_decimator_block(5.0)
+    st = fdec.init()
+    _assert_clean(_block_fn(fdec), st, _noise_cf(100_000).re)
+
+
+def test_shift_and_fastddc_clean():
+    from csdr_tpu.ops import fastddc as fd, shift
+    blk = shift.shift_block(0.2)
+    _assert_clean(_block_fn(blk), blk.init(), _noise_cf(1_000_000))
+    ddc = fd.fastddc_init(0.05, 16)
+    rates = np.random.default_rng(0).uniform(-0.4, 0.4, 8)
+    fwd = fd.fastddc_fwd_block(ddc)
+    inv = fd.fastddc_inv_block(ddc, rates)
+    n = 64 * ddc.input_size
+
+    def chain(s, x):
+        s0, spectra = fwd.apply(s[0], x)
+        s1, out = inv.apply(s[1], spectra)
+        return out.data
+
+    _assert_clean(chain, (fwd.init(), inv.init()), _noise_cf(n))
+    # classed decimation (D=50)
+    ddc50 = fd.fastddc_init(0.05, 50)
+    inv50 = fd.fastddc_inv_block(ddc50, rates)
+    fwd50 = fd.fastddc_fwd_block(ddc50)
+
+    def chain50(s, x):
+        s0, spectra = fwd50.apply(s[0], x)
+        s1, out = inv50.apply(s[1], spectra)
+        return out.data
+
+    _assert_clean(chain50, (fwd50.init(), inv50.init()),
+                  _noise_cf(50 * ddc50.input_size))
+
+
+def test_agc_and_spectrum_clean():
+    from csdr_tpu.ops import agc, spectrum
+    blk = agc.agc_block()
+    _assert_clean(_block_fn(blk), blk.init(),
+                  jnp.zeros((262_144,), jnp.float32))
+    fft_blk = spectrum.fft_cc_block(4096, 4096)
+    _assert_clean(_block_fn(fft_blk), fft_blk.init(), _noise_cf(262_144))
+
+
+def test_timing_recovery_small_gathers_allowed():
+    """The Gardner TED's per-symbol 4-element window gathers are the
+    documented right form (docs/ROADMAP.md #8a) — under the size threshold,
+    they must NOT be flagged."""
+    from csdr_tpu.ops import sync
+    tr = sync.timing_recovery_block("GARDNER", 64)
+    st = tr.init(16_384)
+
+    def fn(st, x):
+        st2, out = tr.apply(st, x)
+        return out.data
+
+    _assert_clean(fn, st, _noise_cf(16_384))
+
+
+def test_lint_flags_known_bad_pattern():
+    """Teeth check: the retained gather-based fastddc inverse
+    (ops/fastddc.fastddc_inv_batch — kept as the specification for the
+    fused path) and a synthetic traced-index gather must both be flagged."""
+    from csdr_tpu.ops import fastddc as fd
+    ddc = fd.fastddc_init(0.05, 16)
+    rows = [fd.channel_arrays(ddc, r) for r in (0.1, -0.2)]
+    taps = np.stack([r[0] for r in rows])
+    perm = np.stack([r[1] for r in rows])
+    spectra = CF(jnp.zeros((64, ddc.fft_size)), jnp.zeros((64, ddc.fft_size)))
+
+    def bad(s_re, s_im, perm_dev):
+        out = fd.fastddc_inv_batch(
+            CF(s_re, s_im), ddc,
+            CF(jnp.asarray(taps.real, jnp.float32),
+               jnp.asarray(taps.imag, jnp.float32)),
+            perm_dev)
+        return out.re
+
+    # perm passed as a traced argument (the ddcd retune path) -> the bulk
+    # gather has traced indices
+    flagged = lint_fn(bad, spectra.re, spectra.im, jnp.asarray(perm))
+    assert any(f.kind in ("dynamic-gather", "large-const-gather")
+               for f in flagged), flagged
+
+    def bad2(x, idx):
+        return x[idx]
+
+    flagged2 = lint_fn(bad2, jnp.zeros(1 << 20), jnp.arange(1 << 17) * 2)
+    assert any(f.kind == "dynamic-gather" for f in flagged2)
+    # and x[::k] over a big array (iota gather lowering)
+    flagged3 = lint_fn(lambda x: x[::4], jnp.zeros(1 << 20))
+    assert any(f.kind == "large-const-gather" for f in flagged3)
