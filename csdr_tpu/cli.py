@@ -263,7 +263,22 @@ def main(argv=None):
     # JAX_PLATFORMS env var like a fresh process would
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    return handler(args) or 0
+    try:
+        return handler(args) or 0
+    except SystemExit as e:
+        # bad invocation: print the error AND this command's syntax
+        # (reference csdr.c prints the usage[] entry on badsyntax)
+        if e.code not in (0, None):
+            msg = e.code if isinstance(e.code, str) else ""
+            if msg:
+                sys.stderr.write(f"csdr_tpu {cmd}: {msg}\n")
+            sys.stderr.write(usage_for(cmd))
+            return 1
+        return 0
+    except (IndexError, ValueError) as e:
+        sys.stderr.write(f"csdr_tpu {cmd}: bad parameters ({e})\n")
+        sys.stderr.write(usage_for(cmd))
+        return 1
 
 
 def _f(args, i, default=None):
@@ -289,6 +304,176 @@ def _window(args, i):
 
 
 REGISTRY = {}
+
+# Per-command usage syntax (reference csdr.c:56-181 `usage[]`; checked
+# complete by tests/test_cli_usage.py, the checkdocs equivalent of the
+# reference Makefile:105-111).  <> = required, [] = optional.
+USAGE = {
+    "convert_u8_f": "convert_u8_f",
+    "convert_f_u8": "convert_f_u8",
+    "convert_s8_f": "convert_s8_f",
+    "convert_f_s8": "convert_f_s8",
+    "convert_s16_f": "convert_s16_f",
+    "convert_f_s16": "convert_f_s16",
+    "convert_s24_f": "convert_s24_f [--bigendian]",
+    "convert_f_s24": "convert_f_s24 [--bigendian]",
+    "realpart_cf": "realpart_cf",
+    "mono2stereo_s16": "mono2stereo_s16",
+    "stereo2mono_s16": "stereo2mono_s16",
+    "none": "none",
+    "flowcontrol": "flowcontrol <data_rate> <reads_per_second>",
+    "clone": "clone",
+    "REM": "REM [comment...]",
+    "through": "through",
+    "dump_f": "dump_f",
+    "dump_u8": "dump_u8",
+    "setbuf": "setbuf <bufsize>",
+    "yes_f": "yes_f <to_repeat> [buf_times]",
+    "repeat_u8": "repeat_u8 <data_bytes...>",
+    "gain_ff": "gain_ff <gain>",
+    "limit_ff": "limit_ff [max_amplitude]",
+    "clipdetect_ff": "clipdetect_ff",
+    "detect_nan_ff": "detect_nan_ff",
+    "dcblock_ff": "dcblock_ff",
+    "fastdcblock_ff": "fastdcblock_ff",
+    "add_n_zero_samples_at_beginning_f":
+        "add_n_zero_samples_at_beginning_f <n_zero_samples>",
+    "add_const_cc": "add_const_cc <i> <q>",
+    "shift_math_cc": "shift_math_cc [--fifo <fifo_path>|--fd <fd>] <rate>",
+    "shift_addition_cc":
+        "shift_addition_cc [--fifo <fifo_path>|--fd <fd>] <rate>",
+    "shift_table_cc": "shift_table_cc <rate> [table_size]",
+    "shift_addfast_cc": "shift_addfast_cc <rate>",
+    "shift_unroll_cc": "shift_unroll_cc <rate>",
+    "decimating_shift_addition_cc":
+        "decimating_shift_addition_cc <rate> [decimation]",
+    "fir_decimate_cc":
+        "fir_decimate_cc <decimation_factor> [transition_bw [window]]",
+    "fir_interpolate_cc":
+        "fir_interpolate_cc <interpolation_factor> [transition_bw [window]]",
+    "rational_resampler_ff":
+        "rational_resampler_ff <interpolation> <decimation> "
+        "[transition_bw [window]]",
+    "fractional_decimator_ff":
+        "fractional_decimator_ff <decimation_rate> [num_poly_points "
+        "[transition_bw [window]]]",
+    "bandpass_fir_fft_cc":
+        "bandpass_fir_fft_cc [--fifo <fifo_path>|--fd <fd>] <low_cut> "
+        "<high_cut> <transition_bw> [window]",
+    "peaks_fir_cc": "peaks_fir_cc <taps_length> <peak_rate...>",
+    "pulse_shaping_filter_cc":
+        "pulse_shaping_filter_cc (RRC <samples_per_symbol> <num_taps> <beta> "
+        "| COSINE <samples_per_symbol>)",
+    "firdes_lowpass_f":
+        "firdes_lowpass_f <cutoff_rate> <length> [window [--octave]]",
+    "firdes_bandpass_c":
+        "firdes_bandpass_c <low_cut> <high_cut> <length> [window [--octave]]",
+    "firdes_pulse_shaping_filter_f":
+        "firdes_pulse_shaping_filter_f (RRC <samples_per_symbol> <num_taps> "
+        "<beta> | COSINE <samples_per_symbol>) [--octave]",
+    "fmdemod_quadri_cf": "fmdemod_quadri_cf",
+    "fmdemod_quadri_novect_cf": "fmdemod_quadri_novect_cf",
+    "fmdemod_atan_cf": "fmdemod_atan_cf",
+    "amdemod_cf": "amdemod_cf",
+    "amdemod_estimator_cf": "amdemod_estimator_cf",
+    "deemphasis_wfm_ff": "deemphasis_wfm_ff <sample_rate> <tau>",
+    "deemphasis_nfm_ff": "deemphasis_nfm_ff <one_of_the_predefined_rates>",
+    "fmmod_fc": "fmmod_fc",
+    "dsb_fc": "dsb_fc [q_value]",
+    "add_dcoffset_cc": "add_dcoffset_cc",
+    "fixed_amplitude_cc": "fixed_amplitude_cc <new_amplitude>",
+    "convert_f_samplerf": "convert_f_samplerf <wait_for_this_sample>",
+    "agc_ff":
+        "agc_ff [--reference <r>] [--attack <rate>] [--decay <rate>] "
+        "[--max <gain>] [--hangtime <n>] [--attackwait <n>] "
+        "[--filteralpha <a>]",
+    "fastagc_ff": "fastagc_ff [block_size [reference]]",
+    "simple_agc_cc": "simple_agc_cc <rate> [reference]",
+    "squelch_and_smeter_cc":
+        "squelch_and_smeter_cc --fifo <squelch_fifo> --outfifo <smeter_fifo> "
+        "<use_every_nth> <report_every_nth>",
+    "fft_cc":
+        "fft_cc <fft_size> <out_of_every_n_samples> [window [--octave] "
+        "[--benchmark]]",
+    "fft_fc": "fft_fc <fft_size> <out_of_every_n_samples> [window]",
+    "logpower_cf": "logpower_cf [add_db]",
+    "logaveragepower_cf": "logaveragepower_cf <add_db> <fft_size> <avgnumber>",
+    "fft_exchange_sides_ff": "fft_exchange_sides_ff <fft_size>",
+    "fft_one_side_ff": "fft_one_side_ff <fft_size>",
+    "compress_fft_adpcm_f_u8": "compress_fft_adpcm_f_u8 <fft_size>",
+    "encode_ima_adpcm_i16_u8": "encode_ima_adpcm_i16_u8",
+    "decode_ima_adpcm_u8_i16": "decode_ima_adpcm_u8_i16",
+    "fft_benchmark": "fft_benchmark <fft_size> <fft_cycles>",
+    "fastddc_fwd_cc": "fastddc_fwd_cc <decimation> [transition_bw [window]]",
+    "fastddc_inv_cc":
+        "fastddc_inv_cc [--fifo <fifo_path>|--fd <fd>] <shift_rate> "
+        "<decimation> [transition_bw [window]]",
+    "psk31_varicode_encoder_u8_u8": "psk31_varicode_encoder_u8_u8",
+    "psk31_varicode_decoder_u8_u8": "psk31_varicode_decoder_u8_u8",
+    "differential_encoder_u8_u8": "differential_encoder_u8_u8",
+    "differential_decoder_u8_u8": "differential_decoder_u8_u8",
+    "psk_modulator_u8_c": "psk_modulator_u8_c <n_psk>",
+    "psk31_interpolate_sine_cc": "psk31_interpolate_sine_cc <interpolation>",
+    "duplicate_samples_ntimes_u8_u8":
+        "duplicate_samples_ntimes_u8_u8 <sample_size_bytes> <ntimes>",
+    "pack_bits_1to8_u8_u8": "pack_bits_1to8_u8_u8",
+    "pack_bits_8to1_u8_u8": "pack_bits_8to1_u8_u8",
+    "invert_u8_u8": "invert_u8_u8",
+    "binary_slicer_f_u8": "binary_slicer_f_u8",
+    "generic_slicer_f_u8": "generic_slicer_f_u8 <n_symbols>",
+    "dbpsk_decoder_c_u8": "dbpsk_decoder_c_u8",
+    "bfsk_demod_cf": "bfsk_demod_cf <spacing> <filter_length>",
+    "timing_recovery_cc":
+        "timing_recovery_cc (GARDNER|EARLYLATE) <decimation> [loop_gain "
+        "[max_error]] [--add_q] [--output_error|--output_indexes] "
+        "[--octave <show_every_nth>] [--octave_save <path_prefix>]",
+    "bpsk_costas_loop_cc":
+        "bpsk_costas_loop_cc [loop_bandwidth [damping_factor]] [--dd]",
+    "pll_cc": "pll_cc (1 [alpha] | 2 [bandwidth]) [--nco]",
+    "normalized_timing_variance_u32_f":
+        "normalized_timing_variance_u32_f <samples_per_symbol> "
+        "<initial_sample_offset>",
+    "serial_line_decoder_f_u8":
+        "serial_line_decoder_f_u8 <samples_per_bit> [databits [stopbits]]",
+    "pattern_search_u8_u8":
+        "pattern_search_u8_u8 <values_after> <pattern_value...>",
+    "awgn_cc": "awgn_cc <snr_db> [--awgnfile <file>] [--snrshow]",
+    "uniform_noise_f": "uniform_noise_f",
+    "gaussian_noise_c": "gaussian_noise_c",
+    "fifo": "fifo <buffer_size> <number_of_buffers>",
+    "tee": "tee <path> [num_buffers]",
+    "shift_addition_fc": "shift_addition_fc <rate>",
+    "shift_addition_cc_test": "shift_addition_cc_test [rate]",
+    "old_fractional_decimator_ff":
+        "old_fractional_decimator_ff <decimation_rate> [transition_bw "
+        "[window]]",
+    "plain_interpolate_cc": "plain_interpolate_cc <interpolation>",
+    "suboptimal_rational_resampler_ff":
+        "suboptimal_rational_resampler_ff <interpolation> <decimation> "
+        "[transition_bw [window]]",
+    "firdes_peak_c": "firdes_peak_c <rate> <length> [window [--octave]]",
+    "rtty_line_decoder_u8_u8": "rtty_line_decoder_u8_u8",
+    "rtty_baudot2ascii_u8_u8": "rtty_baudot2ascii_u8_u8",
+    "octave_complex_c":
+        "octave_complex_c <samples_to_plot> <out_of_n_samples> [--2d]",
+    "_fft2octave": "_fft2octave <fft_size>",
+    "syncword_search": "syncword_search <syncword_hex> <bits_after>",
+}
+# aliases share the canonical entry
+for _alias, _canon in [
+    ("convert_i16_f", "convert_s16_f"), ("convert_f_i16", "convert_f_s16"),
+    ("mono2stereo_i16", "mono2stereo_s16"),
+    ("stereo2mono_i16", "stereo2mono_s16"),
+    ("floatdump_f", "dump_f"),
+    ("encode_ima_adpcm_s16_u8", "encode_ima_adpcm_i16_u8"),
+    ("decode_ima_adpcm_u8_s16", "decode_ima_adpcm_u8_i16"),
+]:
+    USAGE[_alias] = USAGE[_canon].replace(_canon, _alias, 1)
+
+
+def usage_for(cmd: str) -> str:
+    u = USAGE.get(cmd)
+    return f"usage: csdr_tpu {u}\n" if u else ""
 
 
 def command(*names):
@@ -407,10 +592,20 @@ def _c_passthrough(args, _cmd_holder=[None]):
     cmd = sys.argv[1]
     if cmd in ("floatdump_f",):
         cmd = "dump_f"
+    rdsize = 65536
+    if cmd == "setbuf":
+        # reference csdr.c:1056-1067: sets the process buffer size; here
+        # that means the read quantum AND (under dynamic bufsize) the size
+        # announced downstream
+        rdsize = _i(args, 0)
+        if rdsize <= 0:
+            raise SystemExit("bufsize must be >= 1")
+        if _dynamic_bufsize_on():
+            sendbufsize(rdsize)
     stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
     total, t0 = 0, time.time()
     while True:
-        data = stdin.read(65536)
+        data = stdin.read(rdsize)
         if not data:
             break
         total += len(data)
@@ -537,6 +732,12 @@ def _c_shift(args):
     ctl = FifoCtl(args)
     a = strip_ctl_args(args)
     rate = float(a[0]) if a else float(ctl.wait_first())
+    if sys.argv[1] == "shift_table_cc" and len(a) > 1:
+        # the reference's table variant takes a table size / quality knob
+        # (csdr.c:872-896); the direct-NCO op is exact, so the argument is
+        # accepted for CLI compatibility and has no effect
+        sys.stderr.write(f"shift_table_cc: table_size={int(float(a[1]))} "
+                         "accepted (direct NCO is exact; no table)\n")
     import jax.numpy as jnp
 
     # the rate lives IN the state pytree (traced), so a FIFO retune replaces
@@ -1301,7 +1502,15 @@ def _c_timing(args):
     from csdr_tpu.ops import sync
     alg = args[0].upper()
     decim = int(args[1])
-    pos = [a for a in args[2:] if not a.startswith("--")]
+    pos, skip = [], False
+    for a in args[2:]:
+        if skip:
+            skip = False
+            continue
+        if a.startswith("--"):
+            skip = a in ("--octave_save",)   # flags that take a value
+            continue
+        pos.append(a)
     gain = float(pos[0]) if len(pos) > 0 else 0.5
     max_err = float(pos[1]) if len(pos) > 1 else 2.0
     use_q = "--add_q" in args
@@ -1321,6 +1530,12 @@ def _c_timing(args):
                                          "indexes")
         inner = jax.jit(blk.apply)
         print("cf=figure();")
+        save_prefix = None
+        if "--octave_save" in args:
+            # save each plot as PNG (reference octave_plot's save path,
+            # libcsdr.c:1917-1958 writes <prefix>_<n>.png via print -dpng)
+            save_prefix = args[args.index("--octave_save") + 1]
+        plot_n = [0]
 
         def apply(state, x):
             state, out = inner(state, x)
@@ -1330,6 +1545,9 @@ def _c_timing(args):
             print("isig=[" + " ".join(f"{v:g}" for v in sig) + "];")
             print("pts=[" + " ".join(str(int(v) + 1) for v in idx) + "];")
             print("plot(isig);hold on;scatter(pts,isig(pts),'r');hold off;")
+            if save_prefix is not None:
+                print(f'print(cf,"{save_prefix}_{plot_n[0]}.png","-dpng");')
+                plot_n[0] += 1
             sys.stdout.flush()
             from csdr_tpu.core.block import VarOut
             return state, VarOut(out.data[:0], jnp.int32(0))
@@ -1353,14 +1571,17 @@ def _c_costas(args):
 
 @command("pll_cc")
 def _c_pll(args):
+    """pll_cc <1|2> [alpha|bandwidth] [--nco]: PLL carrier tracker; emits
+    dphase (f) by default, or the NCO itself (c) with --nco (the reference
+    pll_cc supports both outputs, libcsdr.c:1856-1915)."""
     from csdr_tpu.ops import sync
-    which = _i(args, 0, 2)
-    if which == 1:
-        alpha = _f(args, 1, 0.01)
-        pump(sync.pll_block(alpha, pi_controller=False), "c", "f")
-    else:
-        bw = _f(args, 1, 0.01)
-        pump(sync.pll_block(bw, pi_controller=True), "c", "f")
+    output = "nco" if "--nco" in args else "dphase"
+    ofmt = "c" if output == "nco" else "f"
+    pos = [a for a in args if not a.startswith("--")]
+    which = int(pos[0]) if pos else 2
+    gain = float(pos[1]) if len(pos) > 1 else 0.01
+    pump(sync.pll_block(gain, pi_controller=(which != 1), output=output),
+         "c", ofmt)
 
 
 @command("normalized_timing_variance_u32_f")
@@ -1797,10 +2018,22 @@ def _c_syncword(args):
 
 @command("--help")
 def _c_help(args):
+    """--help: list all commands with syntax; --help <cmd>: one command's
+    usage (reference csdr.c:3570-3597 prints usage[])."""
+    if args:
+        u = usage_for(args[0])
+        if u:
+            sys.stderr.write(u)
+            doc = REGISTRY.get(args[0], lambda a: None).__doc__
+            if doc:
+                sys.stderr.write("  " + doc.strip().split("\n")[0] + "\n")
+            return 0
+        sys.stderr.write(f"csdr_tpu: unknown command {args[0]}\n")
+        return 1
     sys.stderr.write(USAGE_NOTE)
     for name in sorted(REGISTRY):
         if not name.startswith("-"):
-            sys.stderr.write(f"    {name}\n")
+            sys.stderr.write(f"    {USAGE.get(name, name)}\n")
     return 0
 
 

@@ -47,7 +47,8 @@ def measure_hbm_bw(n_mb: int = 256) -> float:
     n = n_mb * (1 << 20) // 4
     x = _dev_noise((n,))
 
-    per = time_kernel(lambda x: x * jnp.float32(1.0000001) + jnp.float32(1e-9), x)
+    per = time_kernel(lambda x: x * jnp.float32(1.0000001) + jnp.float32(1e-9),
+                      x, k_pair=(32, 512))
     return 2.0 * n * 4 / per
 
 
@@ -71,7 +72,7 @@ def measure_mxu_flops(precision_name: str = "HIGHEST", m: int = 4096) -> float:
         return jnp.dot(a, b, precision=prec,
                        preferred_element_type=jnp.float32)
 
-    per = time_kernel(kern, a)
+    per = time_kernel(kern, a, k_pair=(16, 128))
     return 2.0 * m * m * m / per
 
 

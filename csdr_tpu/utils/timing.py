@@ -30,11 +30,16 @@ def _scalarize(y):
 
 
 def time_kernel(kernel: Callable, x, reps: int = 3,
-                target_ms: float = 80.0) -> float:
+                target_ms: float = 80.0,
+                k_pair: tuple[int, int] | None = None) -> float:
     """Seconds per kernel invocation (steady state).  ``kernel(x) -> y``.
 
     The axon fetch floor is ~25 ms, so k is escalated until the k-loop time
     clearly exceeds the floor, then the slope between two k values is taken.
+
+    k_pair: fix (k_small, k_big) instead of auto-escalating — every distinct
+    k is a separate ~30 s axon compile, so callers that know the kernel's
+    rough cost (e.g. the roofline peak sweep) pass it to cap compiles at 2.
     """
 
     def make(k):
@@ -60,15 +65,20 @@ def time_kernel(kernel: Callable, x, reps: int = 3,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # probe: find k_big where loop time dominates the fetch floor
-    k_small = 8
-    t_small = measure(k_small, 2)
-    k_big = 64
-    while True:
+    if k_pair is not None:
+        k_small, k_big = k_pair
+        t_small = measure(k_small, 2)
         t_big = measure(k_big, 2)
-        if t_big > max(3 * t_small, target_ms / 1e3) or k_big >= 8192:
-            break
-        k_big *= 4
+    else:
+        # probe: find k_big where loop time dominates the fetch floor
+        k_small = 8
+        t_small = measure(k_small, 2)
+        k_big = 64
+        while True:
+            t_big = measure(k_big, 2)
+            if t_big > max(3 * t_small, target_ms / 1e3) or k_big >= 8192:
+                break
+            k_big *= 4
     per = (t_big - t_small) / (k_big - k_small)
     # refine with one more rep pair at the chosen sizes
     t_small = min(t_small, measure(k_small, reps - 1) if reps > 1 else t_small)
