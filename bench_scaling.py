@@ -34,7 +34,7 @@ def bench_ddc_bank(mesh, frames_per_shard=256, c_total=64):
     x = CF(jax.device_put(x.re, sh), jax.device_put(x.im, sh))
     n = x.shape[0]
     per = time_kernel(step, x)
-    return n / per / 1e6
+    return n / per / 1e6, step, x
 
 
 def bench_wfm_bank(mesh, per_shard=12800 * 8, c_total=8):
@@ -49,7 +49,7 @@ def bench_wfm_bank(mesh, per_shard=12800 * 8, c_total=8):
     sh = NamedSharding(mesh, P("time"))
     x = CF(jax.device_put(x.re, sh), jax.device_put(x.im, sh))
     per = time_kernel(step, x)
-    return n / per / 1e6
+    return n / per / 1e6, step, x
 
 
 def main(argv=None):
@@ -65,16 +65,36 @@ def main(argv=None):
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--frames", type=int, default=256,
                     help="fastddc frames per time-shard (reduce on cpu)")
+    ap.add_argument("--collectives", action="store_true",
+                    help="report per-step collective bytes (from the "
+                         "compiled HLO) for each mesh size")
+    ap.add_argument("--coordinator", default=None,
+                    help="with --distributed: coordinator address "
+                         "host:port (else jax auto-detects from env)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
+    ap.add_argument("--sizes", default=None,
+                    help="comma-separated device counts (default: powers "
+                         "of two up to the device count)")
     args = ap.parse_args(argv)
     import jax
-    if args.distributed:
-        jax.distributed.initialize()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
     from jax.sharding import Mesh
 
     devs = jax.devices()
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devs)]
+    if args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",")]
+    else:
+        sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devs)]
     base = None
     for n in sizes:
         # time-major factorization: chan shards only when channels allow
@@ -82,10 +102,10 @@ def main(argv=None):
         time = n // chan
         mesh = Mesh(np.array(devs[:n]).reshape(chan, time), ("chan", "time"))
         if args.bank == "ddc":
-            msps = bench_ddc_bank(mesh, frames_per_shard=args.frames,
-                                  c_total=args.channels)
+            msps, step, x = bench_ddc_bank(mesh, frames_per_shard=args.frames,
+                                           c_total=args.channels)
         else:
-            msps = bench_wfm_bank(mesh, c_total=max(8, 2 * chan))
+            msps, step, x = bench_wfm_bank(mesh, c_total=max(8, 2 * chan))
         if base is None:
             base = msps
         eff = msps / (base * n)
@@ -94,6 +114,9 @@ def main(argv=None):
             "wideband_Msps": round(msps, 1),
             "scaling_efficiency": round(eff, 3),
         }
+        if args.collectives:
+            from csdr_tpu.utils.collectives import collective_report
+            rec["collectives_per_step"] = collective_report(step, x)
         if devs[0].platform == "cpu":
             # virtual devices share one host's cores: weak scaling CANNOT
             # speed up, so efficiency here only validates the rig runs;
