@@ -32,14 +32,32 @@ def _lagrange_denominators(num_poly_points: int) -> np.ndarray:
     return den.astype(np.float32)
 
 
+def _rational_den(rate: float, max_den: int = 64) -> int | None:
+    """Smallest q <= max_den with rate*q integral (f64), else None."""
+    for q in range(1, max_den + 1):
+        if abs(rate * q - round(rate * q)) < 1e-9 * max(1.0, abs(rate * q)):
+            return q
+    return None
+
+
 def fractional_decimator_block(rate: float, num_poly_points: int = 12,
                                taps=None, chunk_size: int | None = None,
-                               out_capacity: int | None = None) -> Block:
+                               out_capacity: int | None = None,
+                               rational: bool | None = None) -> Block:
     """Streaming fractional decimator.  Emits VarOut (capacity ~= N/rate + 2).
 
     taps: optional prefilter FIR (reference applies fir_one_pass_ff at each
     interpolation point, libcsdr.c:769-772 — equivalently a valid-mode FIR of
     the buffer followed by the polynomial interpolator on the filtered stream).
+
+    rational: for rate = num/den (den <= 64 detected from the f64 rate, e.g.
+    CLI '2.4' -> 12/5) the den output phase classes each have FIXED Lagrange
+    coefficients, so the whole interpolator collapses to one slab matmul on
+    the MXU — no (cap, P) gather (ROADMAP r1 #3; ~100x on TPU).  Emission is
+    quantized to multiples of den per chunk to keep the carried `where`
+    integral (pure chunking change: the output STREAM is identical, only up
+    to den-1 samples shift to the next chunk).  None = auto-detect; False
+    forces the generic gather path (the golden reference form).
     """
     assert rate > 1.0, "can't fractionally decimate rate <= 1.0"
     p = num_poly_points & ~1
@@ -50,6 +68,14 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
     taps_j = None if taps is None else jnp.asarray(taps, jnp.float32)
     t_len = 0 if taps is None else int(taps_j.shape[0])
     margin = p + t_len + int(np.ceil(rate)) + 4
+
+    q_den = None
+    if rational is not False and not float(rate).is_integer() and p >= 4:
+        q_den = _rational_den(rate)
+    if q_den is not None:
+        return _fractional_decimator_rational_block(
+            rate, q_den, p, xifirst, xs_np, taps_j, t_len, margin,
+            out_capacity)
 
     def init():
         return None  # lazily sized on first chunk
@@ -119,6 +145,120 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
         # roll consumed samples out of the buffer
         buf = jax.lax.dynamic_slice(
             jnp.concatenate([buf, jnp.zeros_like(buf)]), (input_processed,), (buf.shape[0],))
+        return (buf, new_occ, new_where), VarOut(y, count)
+
+    return Block("fractional_decimator_ff", init, apply)
+
+
+def _fractional_decimator_rational_block(rate, q_den, p, xifirst, xs_np,
+                                         taps_j, t_len, margin,
+                                         out_capacity) -> Block:
+    """Rational-rate fractional decimator as ONE slab matmul (no gather).
+
+    For rate = num/den with integral carried `where` (emission quantized to
+    multiples of den), output k = j*den + qc has
+      wh       = W + j*num + qc*rate
+      fd_low   = W + j*num + ceil(qc*rate) - 1
+      xwhere   = qc*rate - ceil(qc*rate) + 1          (constant per class!)
+    so the den Lagrange coefficient vectors are host constants, and
+      y[j*den + qc] = sum_i c_qc[i] * pre[W - 1 + j*num + off_qc + i].
+    Grouping G = ceil(128/den) j's per slab row fills the MXU's 128-lane N
+    dim:  Y (rows, G*den) = slabs @ Wmat,  slabs row r = pre_shift[r*G*num :
+    r*G*num + slab_len],  Wmat[(g*num + off_q + i), g*den + q] = c_q[i].
+    Same construction as the FIR Toeplitz kernel (kernels/fir_pallas.py),
+    with per-class shifted taps instead of one tap vector.
+    """
+    num = int(round(rate * q_den))
+    # emission is quantized to q_den outputs, so up to (q_den-1)*rate extra
+    # input samples stay buffered beyond the generic margin
+    margin = margin + int(np.ceil((q_den - 1) * rate)) + 2
+    # per-class offsets and Lagrange coefficient vectors (host, f64)
+    offs, coefs = [], []
+    den_np = np.asarray(_lagrange_denominators(p), np.float64)
+    xs64 = xs_np.astype(np.float64)
+    for qc in range(q_den):
+        whf = qc * num / q_den
+        off = int(np.ceil(whf))
+        xw = whf - off + 1.0
+        c = np.empty(p, np.float64)
+        for i in range(p):
+            mask = np.ones(p, bool)
+            mask[i] = False
+            c[i] = np.prod(xw - xs64[mask])
+        offs.append(off)
+        coefs.append(c / den_np)
+    max_off = max(offs)
+    g_grp = max(1, -(-128 // q_den))             # j's per slab row
+    slab_len = (g_grp - 1) * num + max_off + p
+    wmat_np = np.zeros((slab_len, g_grp * q_den), np.float32)
+    for g in range(g_grp):
+        for qc in range(q_den):
+            wmat_np[g * num + offs[qc]: g * num + offs[qc] + p,
+                    g * q_den + qc] = coefs[qc]
+
+    def init():
+        return None
+
+    def _mk_state(n):
+        buf = jnp.zeros((margin + n,), jnp.float32)
+        return (buf, jnp.int32(0), jnp.float32(-xifirst))
+
+    def apply(state, x):
+        n = x.shape[0]
+        cap = out_capacity or int(n / rate) + 2
+        # capacity rounded to whole slab rows of g_grp*q_den outputs
+        rows = -(-cap // (g_grp * q_den))
+        if state is None:
+            state = _mk_state(n)
+        buf, occ, where = state
+        buf = jax.lax.dynamic_update_slice(buf, x.astype(jnp.float32), (occ,))
+        size = occ + n
+        if taps_j is None:
+            pre = buf
+        else:
+            from csdr_tpu.ops.fir import apply_real_fir_ff
+            pre = apply_real_fir_ff(buf, taps_j)
+        w_int = jnp.round(where).astype(jnp.int32)
+        # slab source: pre from W-1 onward.  The c-th shifted-reshape slice
+        # reads ps[c*rd : c*rd + rows*rd], so ps must span
+        # (n_slices-1 + rows)*rd — sizing it to just the last slab's end
+        # makes the out-of-range dynamic_slice CLAMP its start and fill the
+        # tail slab columns with data from the wrong offset.
+        rd = g_grp * num
+        n_slices = -(-slab_len // rd)
+        ps_len = (n_slices - 1 + rows) * rd
+        pre_pad = jnp.concatenate([pre, jnp.zeros((ps_len,), pre.dtype)])
+        b0 = jnp.maximum(w_int - 1, 0)
+        ps = jax.lax.dynamic_slice(pre_pad, (b0,), (ps_len,))
+        cols = []
+        for c in range(n_slices):
+            width = min(rd, slab_len - c * rd)
+            seg = (jax.lax.dynamic_slice(ps, (c * rd,), (rows * rd,))
+                   if c else ps[: rows * rd])
+            cols.append(seg.reshape(rows, rd)[:, :width])
+        slabs = jnp.concatenate(cols, axis=1)           # (rows, slab_len)
+        y_mat = jnp.dot(slabs, jnp.asarray(wmat_np),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        y = y_mat.reshape(-1)[:cap]                      # [j, q] row-major
+        # validity: same rule as the generic path, index_high + p + t_len
+        # < size; quantized down to a whole number of den-classes
+        k = jnp.arange(cap, dtype=jnp.float32)
+        wh = where + k * jnp.float32(rate)
+        valid = jnp.ceil(wh).astype(jnp.int32) + p + t_len < size
+        count_all = jnp.sum(valid.astype(jnp.int32))
+        count = (count_all // q_den) * q_den
+        y = jnp.where(jnp.arange(cap) < count, y, 0.0)
+        # carry: count*rate = (count/den)*num is an exact integer
+        cnum = (count // q_den) * num
+        ih_exit = w_int + cnum
+        input_processed = jnp.maximum((ih_exit - 1) + xifirst, 0)
+        new_where = (where + cnum.astype(jnp.float32)
+                     - input_processed.astype(jnp.float32))
+        new_occ = size - input_processed
+        buf = jax.lax.dynamic_slice(
+            jnp.concatenate([buf, jnp.zeros_like(buf)]),
+            (input_processed,), (buf.shape[0],))
         return (buf, new_occ, new_where), VarOut(y, count)
 
     return Block("fractional_decimator_ff", init, apply)

@@ -42,14 +42,16 @@ def _dev_noise(shape, dtype=jnp.float32, seed=0):
 
 @functools.lru_cache(maxsize=None)
 def measure_hbm_bw(n_mb: int = 256) -> float:
-    """Streaming bandwidth in bytes/s: y = 1.0000001*x + 1e-9 over n_mb MB
-    of float32 (traffic = 2 * n_mb MB: one read + one write)."""
+    """Streaming READ bandwidth in bytes/s: a sum-reduction over n_mb MB of
+    float32 (traffic = n_mb MB).  A triad (y = a*x + c) is NOT used because
+    the timing harness reduces the kernel output, and XLA fuses the triad
+    into that reduction — eliding the write and over-reporting bandwidth
+    ~2x.  A pure read stream is fusion-proof: the n_mb MB MUST cross HBM."""
     n = n_mb * (1 << 20) // 4
     x = _dev_noise((n,))
 
-    per = time_kernel(lambda x: x * jnp.float32(1.0000001) + jnp.float32(1e-9),
-                      x, k_pair=(32, 512))
-    return 2.0 * n * 4 / per
+    per = time_kernel(lambda x: jnp.sum(x), x, k_pair=(32, 512))
+    return 1.0 * n * 4 / per
 
 
 @functools.lru_cache(maxsize=None)

@@ -74,6 +74,47 @@ def test_fractional_decimator_with_prefilter():
     assert_snr(ref[:m], ours[:m], 85, "frac decimator + prefilter")
 
 
+def test_fractional_decimator_rational_path_golden():
+    """Rational rates (den<=64) take the slab-matmul path (no gather,
+    ROADMAP r1 #3); golden vs the reference C at 2.5 = 5/2 and stream-
+    equal to the generic gather path at several rates."""
+    rng = np.random.default_rng(9)
+    x = np.convolve(rng.standard_normal(20000), np.ones(8) / 8,
+                    "same").astype(np.float32)
+    d = refbind.fractional_decimator_init(2.5, 12, None)
+    ref, _ = refbind.fractional_decimator_ff(x, d)
+    blk = resamp.fractional_decimator_block(2.5, 12)
+    st = blk.init()
+    outs = []
+    for c in range(4):
+        st, y = blk.apply(st, jnp.asarray(x[c * 5000:(c + 1) * 5000]))
+        outs.append(np.asarray(y.data)[: int(y.count)])
+    ours = np.concatenate(outs)
+    m = min(len(ref), len(ours))
+    assert m > 7000
+    assert_snr(ref[:m], ours[:m], 90, "rational fractional decimator")
+
+    # stream equality vs the generic path (exact for representable rates;
+    # ~f32-phase-noise for rates like 2.4 where the generic/reference
+    # accumulate k*rate in float32 and the rational path is exact)
+    for rate, bar in [(3.5, 120.0), (6.25, 120.0), (2.4, 55.0)]:
+        bg = resamp.fractional_decimator_block(rate, 12, rational=False)
+        br = resamp.fractional_decimator_block(rate, 12)
+        assert br is not bg
+        sg, sr = bg.init(), br.init()
+        og, orr = [], []
+        for c in range(4):
+            chunk = jnp.asarray(x[c * 5000:(c + 1) * 5000])
+            sg, yg = bg.apply(sg, chunk)
+            sr, yr = br.apply(sr, chunk)
+            og.append(np.asarray(yg.data)[: int(yg.count)])
+            orr.append(np.asarray(yr.data)[: int(yr.count)])
+        og, orr = np.concatenate(og), np.concatenate(orr)
+        m = min(len(og), len(orr))
+        assert len(og) - len(orr) < 12 * 4   # only per-chunk deferral
+        assert_snr(og[:m], orr[:m], bar, f"rational vs generic rate={rate}")
+
+
 def test_wfm_basic_end_to_end():
     x, _ = _fm_signal(48000)
     ref = _reference_wfm(x)
