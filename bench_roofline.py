@@ -50,7 +50,8 @@ def bench_fir(tile_r: int, precision_name: str, d=10, taps_len=1023,
     x = CF(jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)),
            jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)))
     per = time_kernel(
-        lambda x: fir_decimate_best(x, taps, d, kout, prec, tile_r=tile_r), x)
+        lambda x: fir_decimate_best(x, taps, d, kout, prec, tile_r=tile_r), x,
+        k_pair=(512, 8192) if jax.default_backend() == "tpu" else None)
     msps = n / per / 1e6
     # compulsory HBM traffic: planar complex in (8 B/sample) + out
     bytes_moved = 8.0 * (n + kout)
@@ -80,7 +81,9 @@ def bench_fastddc(decimation=16, channels=64, frames=1024):
         _, out = inv.apply(s[1], spectra)
         return out.data
 
-    per = time_kernel(kernel, (s0, x))
+    per = time_kernel(kernel, (s0, x),
+                      k_pair=(16, 128) if jax.default_backend() == "tpu"
+                      else None)
     # flops: fwd FFT (planar radix-2: ~5 N log2 N real flops per frame,
     # counted on the fft_size grid) + fused inverse matmul
     # spectra (frames, fft) @ G (fft, C*m) complex x complex = 8 real
@@ -108,17 +111,21 @@ def main():
 
     from csdr_tpu.utils import roofline
 
-    peaks = roofline.device_peaks(
-        precisions=("HIGHEST", "HIGH") if not args.quick
-        else ("HIGHEST",))
+    if args.quick:   # CPU smoke test: small operands, one precision
+        peaks = {"device": jax.devices()[0].device_kind,
+                 "hbm_bw_GBps": roofline.measure_hbm_bw(16) / 1e9,
+                 "mxu_highest_Tflops":
+                     roofline.measure_mxu_flops("HIGHEST", 1024) / 1e12}
+    else:
+        peaks = roofline.device_peaks(precisions=("HIGHEST", "HIGH"))
     print(json.dumps({"peaks": peaks}))
     sys.stdout.flush()
 
     kout = 128 * 128 if args.quick else 512 * 128
-    tiles = [128] if args.quick else [64, 128, 256, 512]
+    tiles = [128] if args.quick else [64, 128, 256]
     precisions = ["HIGHEST"] if args.quick else ["HIGHEST", "HIGH"]
     best = None
-    for taps_len in ([1023] if args.quick else [81, 1023]):
+    for taps_len in ([1023] if args.quick else [1023]):
         for tr in tiles:
             for pn in precisions:
                 per, msps, byts = bench_fir(tr, pn, taps_len=taps_len,
@@ -136,7 +143,8 @@ def main():
     per, msps, byts, fl, fl_ideal = bench_fastddc(
         frames=64 if args.quick else 1024)
     acct = roofline.account("fastddc 64ch D=16 fwd+inv", per, byts, fl,
-                            peaks, "HIGH", fl_ideal)
+                            peaks, "HIGHEST" if args.quick else "HIGH",
+                            fl_ideal)
     acct["Msps"] = round(msps, 1)
     print(json.dumps(acct))
     if best:

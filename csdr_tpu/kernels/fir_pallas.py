@@ -187,6 +187,166 @@ def _toeplitz_w(taps: np.ndarray, d: int, r: int):
     return _toeplitz_w_cached(np.asarray(taps, np.float32).tobytes(), d, r)
 
 
+# ---------------------------------------------------------------------------
+# VMEM-slab Toeplitz FIR — the roofline kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA Toeplitz path above materializes the slab matrix (J, slab_len) in
+# HBM: ~(slab_len/(128*D)) extra round-trips of the whole input (~3.3x at
+# T=1023, D=10), which caps it at ~33% of roofline (bench_roofline.py).
+# This kernel builds the slabs IN VMEM instead: per grid step it loads a
+# contiguous (JB+1, 128*D) window of the polyphase-contiguous input (HBM
+# traffic = input read once + halo row), forms the JB overlapping slab rows
+# with a shift-concat (VPU layout op), and runs ONE (2*JB, slab_pad) @
+# (slab_pad, 128) MXU matmul for both planes.  Requires
+# slab_len = 127*D + T <= 2*128*D (i.e. T <= 129*D), which holds for every
+# decimator in this framework.
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fir_vmem_kernel(xm_re, xh_re, xm_im, xh_im, w1_ref, w2_ref,
+                     o_re, o_im, *, jb, precision):
+    # Slab row r = window rows r, r+1 concatenated; rather than a lane-
+    # concat of a sublane-shifted view (Mosaic can't lower the offset
+    # layout), the matmul is split at the row boundary:
+    #   y = st[:jb] @ W[:rd]  +  st[1:jb+1] @ W[rd:]
+    # with the shifted operand produced by pltpu.roll (aligned layout;
+    # measured faster than shifting the 128-lane matmul OUTPUT, which
+    # forces both dots over the jb+8 halo rows).  The halo block is 8 rows
+    # for sublane alignment; only halo row 0 is actually consumed.
+    st_re = jnp.concatenate([xm_re[:, :], xh_re[:, :]], axis=0)  # (jb+8, rd)
+    st_im = jnp.concatenate([xm_im[:, :], xh_im[:, :]], axis=0)
+    up1 = st_re.shape[0] - 1        # roll is non-negative: up-1 == down-(n-1)
+    r_re = pltpu.roll(st_re, shift=up1, axis=0)
+    r_im = pltpu.roll(st_im, shift=up1, axis=0)
+    a = jnp.concatenate([st_re[:jb, :], st_im[:jb, :]], axis=0)  # (2JB, rd)
+    b = jnp.concatenate([r_re[:jb, :], r_im[:jb, :]], axis=0)
+    if precision == "HIGH":
+        # Mosaic has no Precision.HIGH dot; do the bf16x3 error-compensated
+        # product by hand: x = hi + lo (bf16 split), w likewise (host-side
+        # w*_ref are stacked [hi; lo] along rows), y ~= hi@w_hi + hi@w_lo
+        # + lo@w_hi.  ~107 dB SNR vs f32 at 1023 taps (the w split is
+        # exact, so only the x-side lo*lo term is dropped), 1.45x the
+        # HIGHEST rate.
+        k2 = w2_ref.shape[0] // 2
+        b = b[:, :k2]
+        w1h, w1l = w1_ref[: w1_ref.shape[0] // 2, :], \
+            w1_ref[w1_ref.shape[0] // 2:, :]
+        w2h, w2l = w2_ref[:k2, :], w2_ref[k2:, :]
+        dotb = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = (dotb(a_hi, w1h) + dotb(a_hi, w1l) + dotb(a_lo, w1h)
+             + dotb(b_hi, w2h) + dotb(b_hi, w2l) + dotb(b_lo, w2h))
+    else:
+        k2 = w2_ref.shape[0]        # W2 trimmed to the used slab columns
+        b = b[:, :k2]
+        prec = getattr(jax.lax.Precision, precision)
+        y = (jnp.dot(a, w1_ref[:, :], precision=prec,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(b, w2_ref[:, :], precision=prec,
+                       preferred_element_type=jnp.float32))   # (2*JB, 128)
+    o_re[:, :] = y[:jb, :]
+    o_im[:, :] = y[jb:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("decimation", "kout", "jb", "prec_name"))
+def _fir_decimate_vmem(x_re, x_im, w1, w2, decimation: int, kout: int,
+                       jb: int, prec_name: str):
+    d = decimation
+    rd = 128 * d
+    jrows = kout // 128
+    grid = jrows // jb
+    nrows = jrows + jb  # main rows + one JB-block of halo rows
+    x2_re = x_re[: nrows * rd].reshape(nrows, rd)
+    x2_im = x_im[: nrows * rd].reshape(nrows, rd)
+    kern = functools.partial(_fir_vmem_kernel, jb=jb, precision=prec_name)
+    o_re, o_im = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((jb, rd), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rd), lambda i: (i * (jb // 8) + jb // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, rd), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rd), lambda i: (i * (jb // 8) + jb // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w1.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((jb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((jrows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((jrows, 128), jnp.float32),
+        ],
+    )(x2_re, x2_re, x2_im, x2_im, w1, w2)
+    return o_re.reshape(-1), o_im.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_w_split_cached(taps_key, d: int, prec_name: str):
+    """W (2*rd, 128) built then split at the window-row boundary rd; W2 is
+    trimmed to the used rows (rounded to a lane multiple).  For the manual
+    bf16x3 'HIGH' path each piece is a [hi; lo] bf16 stack."""
+    taps = np.frombuffer(taps_key, np.float32)
+    t = len(taps)
+    rd = 128 * d
+    slab_len = 127 * d + t
+    w = np.zeros((2 * rd, 128), np.float32)
+    for rr in range(128):
+        w[rr * d: rr * d + t, rr] = taps
+    w2_rows = max(128, _round_up(max(slab_len - rd, 1), 128))
+    w1, w2 = w[:rd], w[rd: rd + w2_rows]
+    if prec_name == "HIGH":
+        import ml_dtypes
+        def split(m):
+            hi = m.astype(ml_dtypes.bfloat16)
+            lo = (m - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            return np.concatenate([hi, lo], axis=0)
+        return split(w1), split(w2)
+    return w1, w2
+
+
+def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
+                      precision=jax.lax.Precision.HIGHEST):
+    """VMEM-slab decimating FIR.  Caller guarantees TPU backend and
+    T <= 129*D; pads kout to a whole grid of JB*128 outputs."""
+    from csdr_tpu.core.cplx import CF
+
+    d = decimation
+    t = int(taps.shape[0])
+    jb = 64 if kout >= 64 * 128 else 8
+    kout_pad = _round_up(kout, jb * 128)
+    rd = 128 * d
+    # input needed: main rows (kout_pad/128) + one JB halo block, each rd
+    need = (kout_pad // 128 + jb) * rd
+    if xcat.shape[0] < need:
+        pad = need - xcat.shape[0]
+        xcat = CF(jnp.concatenate([xcat.re, jnp.zeros((pad,), xcat.re.dtype)]),
+                  jnp.concatenate([xcat.im, jnp.zeros((pad,), xcat.im.dtype)]))
+    prec_name = (precision.name if hasattr(precision, "name")
+                 else str(precision))
+    w1, w2 = _toeplitz_w_split_cached(
+        np.asarray(taps, np.float32).tobytes(), d, prec_name)
+    yr, yi = _fir_decimate_vmem(xcat.re, xcat.im, jnp.asarray(w1),
+                                jnp.asarray(w2), d, kout_pad, jb, prec_name)
+    return CF(yr[:kout], yi[:kout])
+
+
 def fir_decimate_best(xcat, taps, decimation: int, kout: int,
                       precision=jax.lax.Precision.HIGHEST,
                       tile_r: int = 128):
@@ -211,6 +371,11 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
     t = taps.shape[0]
     if jax.default_backend() != "tpu":
         return fir_decimate_cc(xcat, taps, d, precision)[:kout]
+    # VMEM-slab pallas kernel when the slab fits a 2-row window and the
+    # window rows fit VMEM (T <= 129*D, 128*D lanes <= 16K): no HBM slab
+    # materialization — measured fastest at both precisions
+    if t <= 129 * d and 128 * d <= 16384 and kout >= 1024:
+        return fir_decimate_vmem(xcat, taps, d, kout, precision)
     # round kout up to the Toeplitz kernel's tile_r-row tile, zero-padding
     # the input as needed: the padded tail costs <1 tile of work, while the
     # conv fallback for a ragged kout is ~100x slower at long taps
