@@ -373,8 +373,11 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
         return fir_decimate_cc(xcat, taps, d, precision)[:kout]
     # VMEM-slab pallas kernel when the slab fits a 2-row window and the
     # window rows fit VMEM (T <= 129*D, 128*D lanes <= 16K): no HBM slab
-    # materialization — measured fastest at both precisions
-    if t <= 129 * d and 128 * d <= 16384 and kout >= 1024:
+    # materialization.  Only profitable in the MXU-bound LONG-tap regime
+    # (measured: +42% at T=1023; at T=81 the XLA Toeplitz path is ~2x
+    # faster — short taps are memory-bound and the pallas dispatch/grid
+    # overhead dominates), hence the t >= 512 gate.
+    if 512 <= t <= 129 * d and 128 * d <= 16384 and kout >= 1024:
         return fir_decimate_vmem(xcat, taps, d, kout, precision)
     # round kout up to the Toeplitz kernel's tile_r-row tile, zero-padding
     # the input as needed: the padded tail costs <1 tile of work, while the
