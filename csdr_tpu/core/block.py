@@ -56,6 +56,13 @@ class Block:
     # Output samples to drop once at stream start so that framing matches the
     # reference's valid-mode (no zero history) output; see ops/fir.py.
     warmup_out: int = 0
+    # out_samples / in_samples for this block: 1.0 for rate-preserving
+    # stages, 1/D for decimators, I for interpolators, None when the ratio
+    # is data-dependent (VarOut producers like timing recovery).  Used to
+    # convert upstream warmup counts into downstream sample rates so
+    # Pipeline.warmup_out is EXACT; a None ratio with nonzero upstream
+    # warmup makes Pipeline.warmup_out raise instead of silently guessing.
+    rate_ratio: float | None = 1.0
 
     def __call__(self, state: Any, x: Any) -> tuple[Any, Any]:
         return self.apply(state, x)
@@ -104,10 +111,26 @@ class Pipeline:
 
     @property
     def warmup_out(self) -> int:
-        # Conservative aggregate: warmup propagates through rate changes, so
-        # only meaningful when the runner tracks per-block rates; pipelines
-        # that need exact reference framing query blocks individually.
-        return sum(b.warmup_out for b in self.blocks)
+        """EXACT start-of-stream samples to drop at the pipeline OUTPUT:
+        each block's warmup (counted in its own output samples) is carried
+        through the downstream blocks' rate ratios.  Raises if a block with
+        a data-dependent rate (rate_ratio=None) sits downstream of pending
+        warmup — exact framing is undefined there, and callers must frame
+        per block instead of silently using a wrong count."""
+        w = 0.0
+        for b in self.blocks:
+            r = b.rate_ratio
+            if r is None:
+                if w > 0:
+                    raise ValueError(
+                        f"pipeline '{self.name}': block '{b.name}' has a "
+                        "data-dependent rate downstream of pending warmup; "
+                        "exact warmup_out is undefined — drop warmup per "
+                        "block or pass drop_warmup=False")
+                w = float(b.warmup_out)
+            else:
+                w = w * r + float(b.warmup_out)
+        return int(round(w))
 
     def jit_apply(self, **jit_kwargs) -> Callable:
         return jax.jit(self.apply, **jit_kwargs)

@@ -58,16 +58,10 @@ class StreamRunner:
         return out
 
     def _warmup_len(self) -> int:
-        # Per-block warmup counts are in *that block's* output rate; summing is
-        # only exact when later blocks are rate-preserving after the multirate
-        # ones — true for all built-in receiver chains.
-        w = 0
-        if isinstance(self.pipeline, Pipeline):
-            for b in self.pipeline.blocks:
-                w = w + b.warmup_out  # later-stage warmups add in output samples
-        else:
-            w = self.pipeline.warmup_out
-        return w
+        # EXACT: Pipeline.warmup_out carries each block's warmup through the
+        # downstream rate ratios; raises if a data-dependent-rate block sits
+        # downstream of pending warmup (exact framing undefined there).
+        return self.pipeline.warmup_out
 
 
 def run_offline(pipeline, x: np.ndarray, block_size: int = DEFAULT_BLOCK,

@@ -141,7 +141,7 @@ def fastddc_fwd_block(ddc: FastDDC, frames_per_chunk: int = 32) -> Block:
         spectra = cfft.fft(frames)
         return x[n - ov:], spectra
 
-    return Block("fastddc_fwd_cc", init, apply)
+    return Block("fastddc_fwd_cc", init, apply, rate_ratio=None)
 
 
 def fastddc_inv_batch(spectra: CF, ddc: FastDDC, taps_eff: CF,

@@ -97,7 +97,8 @@ def fir_decimate_block(taps, decimation: int, name: str = "fir_decimate_cc",
             y = fir_decimate_cc(xcat, taps_j, d, precision)[: n // d]
         return xcat[n:], y
 
-    return Block(name=name, init=init, apply=apply, warmup_out=warmup)
+    return Block(name=name, init=init, apply=apply, warmup_out=warmup,
+                 rate_ratio=1.0 / d)
 
 
 def _interp_tap_matrix(taps: np.ndarray, interpolation: int) -> np.ndarray:
@@ -165,7 +166,8 @@ def fir_interpolate_block(taps, interpolation: int,
         return xcat[n:], CF(yr.reshape(-1), yi.reshape(-1))
 
     return Block(name=name, init=init, apply=apply,
-                 warmup_out=(s - 1) * interpolation)
+                 warmup_out=(s - 1) * interpolation,
+                 rate_ratio=float(interpolation))
 
 
 def plain_interpolate_cc(x: CF, interpolation: int) -> CF:
@@ -343,7 +345,8 @@ def rational_resampler_block(taps, interpolation: int, decimation: int,
         y = (out.T.reshape(-1)[:nout] * i_).astype(jnp.float32)
         return xcat[n:n + tail_len] if pad else xcat[n:], y
 
-    return Block(name=name, init=init, apply=apply, warmup_out=shift_out)
+    return Block(name=name, init=init, apply=apply, warmup_out=shift_out,
+                 rate_ratio=i_ / d_)
 
 
 # ---------------------------------------------------------------------------

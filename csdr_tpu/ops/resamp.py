@@ -147,7 +147,7 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
             jnp.concatenate([buf, jnp.zeros_like(buf)]), (input_processed,), (buf.shape[0],))
         return (buf, new_occ, new_where), VarOut(y, count)
 
-    return Block("fractional_decimator_ff", init, apply)
+    return Block("fractional_decimator_ff", init, apply, rate_ratio=None)
 
 
 def _fractional_decimator_rational_block(rate, q_den, p, xifirst, xs_np,
@@ -261,7 +261,7 @@ def _fractional_decimator_rational_block(rate, q_den, p, xifirst, xs_np,
             (input_processed,), (buf.shape[0],))
         return (buf, new_occ, new_where), VarOut(y, count)
 
-    return Block("fractional_decimator_ff", init, apply)
+    return Block("fractional_decimator_ff", init, apply, rate_ratio=None)
 
 
 def old_fractional_decimator_ff(x, rate: float, taps=None, remain: float = 0.0):

@@ -248,4 +248,4 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
             data = jnp.where(valids, idxs, 0)
         return (buf2, new_occ, corr), VarOut(data, count)
 
-    return Block("timing_recovery_cc", init, apply)
+    return Block("timing_recovery_cc", init, apply, rate_ratio=None)
