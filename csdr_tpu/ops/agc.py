@@ -228,6 +228,12 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     # update the state (agc_ff scans x[1:])
     body_in = x[1:]
     m = body_in.shape[0]
+    # NOTE chunk=8192 is a stability choice, not only a perf knob: a single
+    # whole-stream chunk measured ~15% faster on smooth audio but the
+    # within-chunk Picard iteration can DIVERGE on strongly modulated
+    # signals (the affine growth through a long chunk amplifies early mask
+    # errors); 8k chunks + the outer boundary wave converge everywhere
+    # tested, with `converged` verifying each call.
     pad = (-m) % chunk
     xp = jnp.concatenate([body_in, jnp.zeros((pad,), jnp.float32)])
     nchunks = xp.shape[0] // chunk
