@@ -76,15 +76,15 @@ def bench_tpu_fastddc(decimation=16, channels=64, frames=1024):
            jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)))
     s0 = (fwd.init(), inv.init())
 
-    # the inverse state carries the (large) fold/G matrix; pass it as an
-    # ARGUMENT — a closed-over device array lowers as a program constant
-    def kernel(arg):
-        s, x = arg
+    # the inverse state carries the (large) fold/G matrix: pass it as the
+    # UNPERTURBED aux — as a perturbed arg the timing loop would copy the
+    # matrices every iteration (236 MB/iter at D=50)
+    def kernel(x, s):
         _, spectra = fwd.apply(s[0], x)
         _, out = inv.apply(s[1], spectra)
         return out.data
 
-    per = time_kernel(kernel, (s0, x))
+    per = time_kernel(kernel, x, aux=s0)
     return n / per / 1e6
 
 
@@ -153,7 +153,10 @@ def main():
         "value": round(wfm_msps, 1), "unit": "complex Msamples/s/chip",
         "x_realtime_2p4Msps": round(wfm_msps / 2.4, 0),
     }) + "\n")
-    ddc50 = bench_tpu_fastddc(decimation=50, frames=500)
+    # frames=2500 -> 100 rows per class matmul: the classed inverse is
+    # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
+    # round-1 limiter (505 -> ~1700 Msps)
+    ddc50 = bench_tpu_fastddc(decimation=50, frames=2500)
     sys.stderr.write(json.dumps({
         "metric": "fastddc 64-channel D=50 (phase-classed inverse)",
         "value": round(ddc50, 1), "unit": "complex Msamples/s/chip",

@@ -75,13 +75,12 @@ def bench_fastddc(decimation=16, channels=64, frames=1024):
            jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)))
     s0 = (fwd.init(), inv.init())
 
-    def kernel(arg):
-        s, x = arg
+    def kernel(x, s):
         _, spectra = fwd.apply(s[0], x)
         _, out = inv.apply(s[1], spectra)
         return out.data
 
-    per = time_kernel(kernel, (s0, x),
+    per = time_kernel(kernel, x, aux=s0,
                       k_pair=(16, 128) if jax.default_backend() == "tpu"
                       else None)
     # flops: fwd FFT (planar radix-2: ~5 N log2 N real flops per frame,

@@ -303,6 +303,20 @@ def _window(args, i):
         else firdes.WINDOW_DEFAULT
 
 
+def _precision(args):
+    """--precision default|high|highest (ROADMAP #5): per-pipeline matmul
+    precision.  highest (default) = f32-equivalent, ~128 dB vs reference;
+    high = error-compensated bf16x3, ~107 dB at 1.4x the throughput;
+    default = raw bf16 for ~-40 dBc turbo paths."""
+    import jax
+    if "--precision" in args:
+        i = args.index("--precision")
+        name = args[i + 1].upper()
+        del args[i: i + 2]          # strip so positional parsing is clean
+        return getattr(jax.lax.Precision, name)
+    return jax.lax.Precision.HIGHEST
+
+
 REGISTRY = {}
 
 # Per-command usage syntax (reference csdr.c:56-181 `usage[]`; checked
@@ -348,12 +362,14 @@ USAGE = {
     "decimating_shift_addition_cc":
         "decimating_shift_addition_cc <rate> [decimation]",
     "fir_decimate_cc":
-        "fir_decimate_cc <decimation_factor> [transition_bw [window]]",
+        "fir_decimate_cc <decimation_factor> [transition_bw [window]] "
+        "[--precision default|high|highest]",
     "fir_interpolate_cc":
-        "fir_interpolate_cc <interpolation_factor> [transition_bw [window]]",
+        "fir_interpolate_cc <interpolation_factor> [transition_bw [window]] "
+        "[--precision default|high|highest]",
     "rational_resampler_ff":
         "rational_resampler_ff <interpolation> <decimation> "
-        "[transition_bw [window]]",
+        "[transition_bw [window]] [--precision default|high|highest]",
     "fractional_decimator_ff":
         "fractional_decimator_ff <decimation_rate> [num_poly_points "
         "[transition_bw [window]]]",
@@ -395,7 +411,7 @@ USAGE = {
     "fft_cc":
         "fft_cc <fft_size> <out_of_every_n_samples> [window [--octave] "
         "[--benchmark]]",
-    "fft_fc": "fft_fc <fft_size> <out_of_every_n_samples> [window]",
+    "fft_fc": "fft_fc <fft_size> <out_of_every_n_samples> [window [--benchmark]]",
     "logpower_cf": "logpower_cf [add_db]",
     "logaveragepower_cf": "logaveragepower_cf <add_db> <fft_size> <avgnumber>",
     "fft_exchange_sides_ff": "fft_exchange_sides_ff <fft_size>",
@@ -792,35 +808,44 @@ def _c_decshift(args):
 def _c_firdec(args):
     from csdr_tpu import firdes
     from csdr_tpu.ops import fir
+    args = list(args)
+    prec = _precision(args)
     d = _i(args, 0)
     bw = _f(args, 1, 0.05)
     win = _window(args, 2)
     taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw), 0.5 / d, win)
-    pump(fir.fir_decimate_block(taps, d), "c", "c", quantum=d)
+    pump(fir.fir_decimate_block(taps, d, precision=prec),
+         "c", "c", quantum=d)
 
 
 @command("fir_interpolate_cc")
 def _c_firint(args):
     from csdr_tpu import firdes
     from csdr_tpu.ops import fir
+    args = list(args)
+    prec = _precision(args)
     i_ = _i(args, 0)
     bw = _f(args, 1, 0.05)
     win = _window(args, 2)
     taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw), 0.5 / i_, win)
-    pump(fir.fir_interpolate_block(taps, i_), "c", "c")
+    pump(fir.fir_interpolate_block(taps, i_, precision=prec),
+         "c", "c")
 
 
 @command("rational_resampler_ff")
 def _c_ratres(args):
     from csdr_tpu import firdes
     from csdr_tpu.ops import fir
+    args = list(args)
+    prec = _precision(args)
     i_ = _i(args, 0)
     d = _i(args, 1)
     bw = _f(args, 2, 0.05)
     win = _window(args, 3)
     taps = firdes.rational_resampler_get_lowpass_f(
         firdes.firdes_filter_len(bw), i_, d, win)
-    pump(fir.rational_resampler_block(taps, i_, d), "f", "f", quantum=d)
+    pump(fir.rational_resampler_block(taps, i_, d, precision=prec),
+         "f", "f", quantum=d)
 
 
 @command("fractional_decimator_ff")
@@ -1118,6 +1143,10 @@ def _c_fft(args):
     n = _i(args, 0)
     every = _i(args, 1)
     win = _window(args, 2)
+    if "--benchmark" in args:
+        # the reference flag selects FFTW_MEASURE planning (csdr.c:1586,
+        # 1602); here jit compilation IS the measured plan — acknowledge
+        sys.stderr.write("fft_cc: benchmarking... (jit compile = plan)\n")
     blk = spectrum.fft_cc_block(n, every, win)
     if "--octave" in args:
         # live octave plot script instead of raw spectra
@@ -1154,6 +1183,8 @@ def _c_fftfc(args):
     n = _i(args, 0)
     every = _i(args, 1)
     win = _window(args, 2)
+    if "--benchmark" in args:
+        sys.stderr.write("fft_fc: benchmarking... (jit compile = plan)\n")
     pump(spectrum.fft_fc_block(n, every, win), "f", "c", quantum=every)
 
 

@@ -31,7 +31,8 @@ def _scalarize(y):
 
 def time_kernel(kernel: Callable, x, reps: int = 3,
                 target_ms: float = 80.0,
-                k_pair: tuple[int, int] | None = None) -> float:
+                k_pair: tuple[int, int] | None = None,
+                aux=None) -> float:
     """Seconds per kernel invocation (steady state).  ``kernel(x) -> y``.
 
     The axon fetch floor is ~25 ms, so k is escalated until the k-loop time
@@ -40,28 +41,34 @@ def time_kernel(kernel: Callable, x, reps: int = 3,
     k_pair: fix (k_small, k_big) instead of auto-escalating — every distinct
     k is a separate ~30 s axon compile, so callers that know the kernel's
     rough cost (e.g. the roofline peak sweep) pass it to cap compiles at 2.
+
+    aux: extra pytree passed through UNperturbed as ``kernel(x, aux)`` —
+    use it for large constant operands (filter matrices, carried state):
+    the anti-hoisting eps-add would otherwise copy them every iteration,
+    charging the kernel for pure measurement overhead.
     """
 
     def make(k):
         @jax.jit
-        def run(x, seed):
+        def run(x, aux_in, seed):
             def body(i, acc):
                 # i-dependent 1e-30 perturbation: numerically invisible but
                 # NOT foldable, so XLA cannot hoist the kernel out of the loop
                 eps = (seed + i.astype(jnp.float32)) * jnp.float32(1e-30)
-                y = kernel(jax.tree_util.tree_map(
-                    lambda a: a + eps.astype(a.dtype), x))
+                xp = jax.tree_util.tree_map(
+                    lambda a: a + eps.astype(a.dtype), x)
+                y = kernel(xp, aux_in) if aux is not None else kernel(xp)
                 return acc + _scalarize(y)
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
         return run
 
     def measure(k, r):
         run = make(k)
-        float(jax.device_get(run(x, jnp.float32(0))))  # compile + settle
+        float(jax.device_get(run(x, aux, jnp.float32(0))))  # compile + settle
         best = float("inf")
         for i in range(r):
             t0 = time.perf_counter()
-            float(jax.device_get(run(x, jnp.float32(i + 1))))
+            float(jax.device_get(run(x, aux, jnp.float32(i + 1))))
             best = min(best, time.perf_counter() - t0)
         return best
 

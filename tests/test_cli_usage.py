@@ -92,6 +92,35 @@ def test_shift_table_cc_accepts_table_size():
     assert "table_size=65536" in p.stderr.decode()
 
 
+def test_fir_decimate_precision_flag():
+    """--precision high selects the bf16x3 path (ROADMAP #5); output must
+    still track the default within the documented SNR."""
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(40960) + 1j * rng.standard_normal(40960)
+         ).astype(np.complex64)
+    hi = run_cli(["fir_decimate_cc", "10", "0.05", "HAMMING"], x.tobytes())
+    lo = run_cli(["fir_decimate_cc", "10", "0.05", "HAMMING",
+                  "--precision", "high"], x.tobytes())
+    a = np.frombuffer(hi.stdout, np.complex64)
+    b = np.frombuffer(lo.stdout, np.complex64)
+    assert a.shape == b.shape
+    err = np.abs(a - b)
+    snr = 20 * np.log10(np.sqrt(np.mean(np.abs(a) ** 2))
+                        / (np.sqrt(np.mean(err ** 2)) + 1e-30))
+    assert snr > 60, snr
+    # flag without positionals still parses (flag stripped before parse)
+    p = run_cli(["fir_decimate_cc", "10", "--precision", "high"],
+                x[:20000].tobytes())
+    assert len(p.stdout) > 0
+
+
+def test_fft_cc_benchmark_flag():
+    x = np.zeros(4096, np.complex64)
+    p = run_cli(["fft_cc", "1024", "1024", "HAMMING", "--benchmark"],
+                x.tobytes())
+    assert "benchmarking" in p.stderr.decode()
+
+
 def test_timing_recovery_octave_save(tmp_path):
     rng = np.random.default_rng(0)
     sym = rng.choice([-1.0, 1.0], 64)
