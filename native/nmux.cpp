@@ -34,21 +34,38 @@
 namespace {
 
 std::atomic<int> n_clients{0};
+std::atomic<int> client_seq{0};
 
-void client_loop(int fd, TsmPool* pool) {
+void client_loop(int fd, int client_id, TsmPool* pool) {
   TsmPool::Reader r = pool->register_reader();
+  std::uint64_t sent_bytes = 0, dropped_bufs = 0, last_dropped = 0;
   for (;;) {
     std::size_t bs = 0;
-    const char* buf = pool->read_next(r, /*wait=*/true, &bs);
+    const char* buf = pool->read_next(r, /*wait=*/true, &bs, &dropped_bufs);
     if (!buf) break;                       // producer EOF
+    if (dropped_bufs != last_dropped) {
+      // backpressure stat: slow client fell a pool-depth behind and was
+      // lapped (drop-oldest) — report like the reference's client-loss log
+      std::fprintf(stderr,
+                   "nmux: client %d lapped, %llu buffers dropped total\n",
+                   client_id,
+                   static_cast<unsigned long long>(dropped_bufs));
+      last_dropped = dropped_bufs;
+    }
     std::size_t off = 0;
     while (off < bs) {
       ssize_t sent = send(fd, buf + off, bs - off, MSG_NOSIGNAL);
       if (sent <= 0) goto done;            // client went away
       off += static_cast<std::size_t>(sent);
     }
+    sent_bytes += bs;
   }
 done:
+  std::fprintf(stderr,
+               "nmux: client %d disconnected (%llu bytes sent, %llu "
+               "buffers dropped)\n",
+               client_id, static_cast<unsigned long long>(sent_bytes),
+               static_cast<unsigned long long>(dropped_bufs));
   close(fd);
   --n_clients;
 }
@@ -91,8 +108,17 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "nmux: bad address %s\n", address.c_str());
     return 1;
   }
-  if (bind(lfd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0 ||
-      listen(lfd, 16) < 0) {
+  // bind with retries: a restarting fan-out server commonly races the old
+  // instance's TIME_WAIT socket
+  int bind_rc = -1;
+  for (int attempt = 0; attempt < 10; ++attempt) {
+    bind_rc = bind(lfd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr));
+    if (bind_rc == 0) break;
+    std::fprintf(stderr, "nmux: bind failed (%s), retrying...\n",
+                 strerror(errno));
+    usleep(500000);
+  }
+  if (bind_rc < 0 || listen(lfd, 16) < 0) {
     perror("nmux: bind/listen");
     return 1;
   }
@@ -118,9 +144,10 @@ int main(int argc, char** argv) {
       if (cfd >= 0) {
         setsockopt(cfd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
         ++n_clients;
-        std::fprintf(stderr, "nmux: client connected (%d total)\n",
-                     n_clients.load());
-        std::thread(client_loop, cfd, &pool).detach();
+        int cid = ++client_seq;
+        std::fprintf(stderr, "nmux: client %d connected (%d total)\n",
+                     cid, n_clients.load());
+        std::thread(client_loop, cfd, cid, &pool).detach();
       }
     }
     if (stdin_open && (fds[0].revents & (POLLIN | POLLHUP))) {

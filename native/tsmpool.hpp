@@ -77,12 +77,16 @@ class TsmPool {
   // to the oldest live buffer.  The returned pointer stays valid until the
   // reader falls a full depth behind again — consumers are expected to copy
   // or send() it promptly, exactly like the reference's client threads.
-  const char* read_next(Reader& r, bool wait, std::size_t* len = nullptr) {
+  const char* read_next(Reader& r, bool wait, std::size_t* len = nullptr,
+                        std::uint64_t* dropped = nullptr) {
     std::unique_lock<std::mutex> lk(mu_);
     for (;;) {
       if (r.next_seq < write_seq_) {
-        if (write_seq_ - r.next_seq >= depth_)       // lapped: drop oldest
+        if (write_seq_ - r.next_seq >= depth_) {     // lapped: drop oldest
+          std::uint64_t skip = write_seq_ - depth_ + 1 - r.next_seq;
+          if (dropped) *dropped += skip;
           r.next_seq = write_seq_ - depth_ + 1;
+        }
         const char* p = &data_[(r.next_seq % depth_) * buf_size_];
         if (len) *len = lens_[r.next_seq % depth_];
         ++r.next_seq;
