@@ -323,6 +323,10 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
 
     d = decimation
     t = int(taps.shape[0])
+    # jb=64 measured fastest even when the tile rounding pads a ragged
+    # kout by up to 25% (bench_kernels' 26214-output shape: 14.9 Gsps at
+    # jb=64/25% pad vs 13.9 at jb=16/1.5% pad — MXU efficiency of the
+    # bigger per-step matmuls beats the padding waste)
     jb = 64 if kout >= 64 * 128 else 8
     kout_pad = _round_up(kout, jb * 128)
     rd = 128 * d
