@@ -403,6 +403,82 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
     return _fastddc_inv_classed_block(ddc, rates)
 
 
+def channel_factored_arrays(ddc: FastDDC, rates):
+    """Host arrays for the FACTORED inverse (see _fastddc_inv_factored_block):
+    TQ (C, pre, inv) complex64 — the raw-order taps spectrum / pre, reshaped
+    so TQ[c, j, m] multiplies raw bin j*inv + m; E (C, inv, M) complex64 —
+    the shared swap+iFFT+post-select+in-frame-NCO matrix, row-rolled by each
+    channel's fold shift cc = (-offsetbin + inv/2) mod inv; frame_cyc (C,).
+
+    Validation (exact vs channel_fused_matrix):
+      G_c[r, out] == TQ_c[r // inv... flat r] * E_c[r % inv, out]."""
+    inv, fft, pre = ddc.fft_inv_size, ddc.fft_size, ddc.pre_decimation
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    assert pis % post == 0
+    m = pis // post
+    tq_list, e_list, cyc_list = [], [], []
+    half_bw = 0.5 / (ddc.pre_decimation * ddc.post_decimation)
+    k = np.arange(inv)[:, None]
+    t_sel = ddc.scrap + post * np.arange(m)[None, :]
+    w = np.exp(2j * np.pi * (k + inv // 2) * t_sel / inv) / inv
+    for rate in map(float, rates):
+        ch = fastddc_init(ddc.transition_bw,
+                          ddc.pre_decimation * ddc.post_decimation, rate,
+                          ddc.window)
+        taps = firdes.firdes_bandpass_c(ch.taps_length, -rate - half_bw,
+                                        -rate + half_bw, ddc.window)
+        padded = np.zeros(fft, np.complex128)
+        padded[: ch.taps_length] = taps
+        tq = (np.fft.fft(padded) / pre).astype(np.complex64)
+        cc = (-ch.offsetbin + inv // 2) % inv
+        dsa = np.float64(np.float32(ch.post_shift)) * post
+        b_nco = np.exp(2j * np.pi * np.mod(np.arange(m) * dsa, 1.0))
+        wb = w * b_nco[None, :]
+        e = wb[(np.arange(inv) + cc) % inv, :].astype(np.complex64)
+        tq_list.append(tq.reshape(pre, inv))
+        e_list.append(e)
+        cyc_list.append(np.mod(m * dsa, 1.0))
+    return (np.stack(tq_list), np.stack(e_list),
+            np.asarray(cyc_list, np.float64))
+
+
+def fastddc_inv_factored_batch(spectra: CF, tq: CF, e: CF,
+                               precision=jax.lax.Precision.HIGH):
+    """Factored inverse: out[b, c, :] (before the per-frame NCO).
+
+    The fused G_c (fft x M dense) executes fft MACs per output; but the
+    fold is an affine mod-inv shift per channel, so G_c factorizes EXACTLY
+    into  Z[b,c,m] = sum_j R2[b,j,m] * TQ[c,j,m]  (the class-sum, pre MACs
+    per bin)  followed by  Z[b,c,:] @ E_c  (inv MACs per output) — about
+    fft/(inv + fft/M) ~ 7x fewer MACs at D=16.
+
+    MEASURED (v5e, B=1024, C=64): 0.31 ms vs the fused matmul's 0.26 ms —
+    the Z intermediate (B*C*inv complex = 67 MB) round-trips HBM, and the
+    j-contraction (K=8) cannot use the MXU, so the MAC saving does not
+    convert to time on this chip; the dense fused matmul (89% of the HIGH
+    MXU rate) remains the production path.  Kept as the readable, exact
+    specification of the inverse's algebraic structure and for backends
+    where flops, not bandwidth, bind (tested equal in
+    tests/test_fastddc.py).
+
+    spectra CF (B, fft); tq CF (C, pre, inv); e CF (C, inv, M)."""
+    b = spectra.shape[0]
+    c, pre, inv = tq.shape
+    r2_re = spectra.re.reshape(b, pre, inv)
+    r2_im = spectra.im.reshape(b, pre, inv)
+    es = lambda u, v: jnp.einsum("bjm,cjm->bcm", u, v,
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
+    z_re = es(r2_re, tq.re) - es(r2_im, tq.im)          # (B, C, inv)
+    z_im = es(r2_re, tq.im) + es(r2_im, tq.re)
+    em = lambda u, v: jnp.einsum("bcm,cmo->cbo", u, v,
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
+    y_re = em(z_re, e.re) - em(z_im, e.im)              # (C, B, M)
+    y_im = em(z_re, e.im) + em(z_im, e.re)
+    return CF(y_re, y_im)
+
+
 def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
     """Fused single-matmul inverse (see channel_fused_matrix); used by
     fastddc_inv_block whenever post_input_size % post_decimation == 0.

@@ -94,3 +94,32 @@ def test_classed_inverse_streaming_chunks():
     m = min(len(once), len(streamed))
     np.testing.assert_allclose(streamed[:m].real, once[:m].real, atol=2e-5)
     np.testing.assert_allclose(streamed[:m].imag, once[:m].imag, atol=2e-5)
+
+
+def test_factored_inverse_equals_fused():
+    """The factored inverse (class-sum + per-channel rolled iDFT,
+    ops/fastddc.fastddc_inv_factored_batch) is the same linear map as the
+    fused dense matrix — exact up to f32 reassociation."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import fastddc as fd
+
+    ddc = fd.fastddc_init(0.05, 16)
+    rates = [0.1, -0.23, 0.37, 0.02]
+    rng = np.random.default_rng(0)
+    b = 16
+    sp = (rng.standard_normal((b, ddc.fft_size))
+          + 1j * rng.standard_normal((b, ddc.fft_size))).astype(np.complex64)
+    spectra = CF(jnp.asarray(sp.real), jnp.asarray(sp.imag))
+    cols = [fd.channel_fused_matrix(ddc, r) for r in rates]
+    g = np.concatenate([gg for gg, _ in cols], axis=1)
+    m = ddc.post_input_size // ddc.post_decimation
+    zf = (sp @ g).reshape(b, len(rates), m).transpose(1, 0, 2)
+    tq, e, cyc = fd.channel_factored_arrays(ddc, rates)
+    y = fd.fastddc_inv_factored_batch(
+        spectra, CF(jnp.asarray(tq.real), jnp.asarray(tq.imag)),
+        CF(jnp.asarray(e.real), jnp.asarray(e.imag)),
+        precision=jax.lax.Precision.HIGHEST)
+    yy = np.asarray(y.re) + 1j * np.asarray(y.im)
+    assert np.abs(yy - zf).max() / np.abs(zf).max() < 1e-5
