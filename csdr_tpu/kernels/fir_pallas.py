@@ -381,8 +381,13 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
     # materialization.  Only profitable in the MXU-bound LONG-tap regime
     # (measured: +42% at T=1023; at T=81 the XLA Toeplitz path is ~2x
     # faster — short taps are memory-bound and the pallas dispatch/grid
-    # overhead dominates), hence the t >= 512 gate.
-    if 512 <= t <= 129 * d and 128 * d <= 16384 and kout >= 1024:
+    # overhead dominates), hence the t >= 512 gate.  Only the validated
+    # HIGHEST / manual-bf16x3 HIGH kernel variants run in pallas; other
+    # precisions (e.g. DEFAULT turbo) take the XLA Toeplitz path — the
+    # DEFAULT-precision Mosaic dot was observed to wedge the device.
+    prec_ok = precision in (jax.lax.Precision.HIGHEST,
+                            jax.lax.Precision.HIGH)
+    if prec_ok and 512 <= t <= 129 * d and 128 * d <= 16384 and kout >= 1024:
         return fir_decimate_vmem(xcat, taps, d, kout, precision)
     # round kout up to the Toeplitz kernel's tile_r-row tile, zero-padding
     # the input as needed: the padded tail costs <1 tile of work, while the
