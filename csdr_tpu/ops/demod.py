@@ -147,20 +147,61 @@ def deemphasis_wfm_ff(x, tau, sample_rate, last_output=0.0):
 
 
 def deemphasis_wfm_block(tau: float, sample_rate: int) -> Block:
+    """Streaming WFM de-emphasis.
+
+    At audio alphas the 1-pole IIR's impulse response a*b^j dies below
+    f32 resolution within a few dozen samples, so the recurrence IS a
+    short FIR exactly: y[n] = sum_{j<K} a*b^j x[n-j] with b^K < 1e-8.
+    That runs as one tiny frames@taps MXU matmul (~10 us at 48k samples)
+    instead of a log-depth associative scan (~127 us measured) — and the
+    carried state becomes the K-1 input tail, which also subsumes the
+    reference's last_output carry (the >K-sample history contributes
+    < 1e-8 relative).  Falls back to the affine scan when alpha is so
+    small that K would exceed 256 taps."""
     dt = 1.0 / sample_rate
     alpha = dt / (tau + dt)
+    b = 1.0 - alpha
+    k_needed = int(np.ceil(np.log(1e-8) / np.log(max(b, 1e-12)))) \
+        if 0.0 < b < 1.0 else 1
+    use_fir = 1 <= k_needed <= 256
+
+    if not use_fir:
+        def init():
+            return jnp.float32(0.0)
+
+        def apply(last, x):
+            if isinstance(x, VarOut):
+                mask = jnp.arange(x.data.shape[0]) < x.count
+                y = _one_pole_scan_masked(x.data, alpha, last, mask)
+                nidx = jnp.maximum(x.count - 1, 0)
+                return y[nidx], VarOut(y, x.count)
+            y, last = deemphasis_wfm_ff(x, tau, sample_rate, last)
+            return last, y
+
+        return Block("deemphasis_wfm_ff", init, apply)
+
+    kf = k_needed
+    # correlation-form taps: apply_real_fir_ff computes sum_t T[t]*x[i+t],
+    # so T[t] = a*b^(K-1-t) places the newest sample at weight a
+    taps_np = (alpha * np.power(b, np.arange(kf - 1, -1, -1))
+               ).astype(np.float32)
+    taps_j = jnp.asarray(taps_np)
 
     def init():
-        return jnp.float32(0.0)
+        return jnp.zeros((kf - 1,), jnp.float32)
 
-    def apply(last, x):
+    def apply(tail, x):
+        from csdr_tpu.ops.fir import apply_real_fir_ff
         if isinstance(x, VarOut):
-            mask = jnp.arange(x.data.shape[0]) < x.count
-            y = _one_pole_scan_masked(x.data, alpha, last, mask)
-            nidx = jnp.maximum(x.count - 1, 0)
-            return y[nidx], VarOut(y, x.count)
-        y, last = deemphasis_wfm_ff(x, tau, sample_rate, last)
-        return last, y
+            xcat = jnp.concatenate([tail, x.data.astype(jnp.float32)])
+            y = apply_real_fir_ff(xcat, taps_j)[: x.data.shape[0]]
+            # valid samples are the PREFIX [0, count): the last K-1 valid
+            # inputs start at xcat[count]
+            new_tail = jax.lax.dynamic_slice(xcat, (x.count,), (kf - 1,))
+            return new_tail, VarOut(y, x.count)
+        xcat = jnp.concatenate([tail, x.astype(jnp.float32)])
+        y = apply_real_fir_ff(xcat, taps_j)[: x.shape[0]]
+        return xcat[-(kf - 1):], y
 
     return Block("deemphasis_wfm_ff", init, apply)
 
