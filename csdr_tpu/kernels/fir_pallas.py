@@ -378,13 +378,15 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
         return fir_decimate_cc(xcat, taps, d, precision)[:kout]
     # VMEM-slab pallas kernel when the slab fits a 2-row window and the
     # window rows fit VMEM (T <= 129*D, 128*D lanes <= 16K): no HBM slab
-    # materialization.  Only profitable in the MXU-bound LONG-tap regime
-    # (measured: +42% at T=1023; at T=81 the XLA Toeplitz path is ~2x
-    # faster — short taps are memory-bound and the pallas dispatch/grid
-    # overhead dominates), hence the t >= 512 gate.  Only the validated
-    # HIGHEST / manual-bf16x3 HIGH kernel variants run in pallas; other
-    # precisions (e.g. DEFAULT turbo) take the XLA Toeplitz path — the
-    # DEFAULT-precision Mosaic dot was observed to wedge the device.
+    # materialization.  Gated to the MXU-bound LONG-tap regime: at short
+    # taps the standalone kernel can still win at deep grids (T=81: 36.8
+    # vs 27.6 Gsps at kout=240k, HIGH) but INSIDE a jitted chain the
+    # opaque pallas boundary forfeits XLA's fusion of neighboring stages
+    # and measured a net loss (WFM advanced 8.9 -> 6.8 Gsps), so only
+    # t >= 512 dispatches here.  Only the validated HIGHEST /
+    # manual-bf16x3 HIGH variants run in pallas; other precisions (e.g.
+    # DEFAULT turbo) take the XLA Toeplitz path — the DEFAULT-precision
+    # Mosaic dot was observed to wedge the device.
     prec_ok = precision in (jax.lax.Precision.HIGHEST,
                             jax.lax.Precision.HIGH)
     if prec_ok and 512 <= t <= 129 * d and 128 * d <= 16384 and kout >= 1024:
