@@ -122,7 +122,35 @@ def bench_tpu_wfm(n=2_400_000):
     return n / per / 1e6
 
 
+def bench_tpu_flagship(frames_target=1475):
+    """BASELINE config 5 single-chip: 64-ch fastddc D=50 + 64 BPSK31
+    Gardner/DBPSK modems.  ~5-7 min axon compile, so only run when
+    CSDR_BENCH_FLAGSHIP=1 (measured 542 Msps wideband on 2026-08-17,
+    docs/BENCHMARKS_R2.md)."""
+    import jax
+    from jax.sharding import Mesh
+    from csdr_tpu.models import multichannel
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.utils.timing import time_kernel
+    import jax.numpy as jnp
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("chan", "time"))
+    rng = np.random.default_rng(3)
+    rates = rng.uniform(-0.35, 0.35, 64)
+    init, step, meta = multichannel.build_ddc_bpsk31_bank(mesh, rates, 50, 256)
+    q, ins = meta["q"], meta["input_size"]
+    frames = (frames_target // q) * q
+    n = frames * ins
+    x = CF(jnp.asarray(rng.standard_normal(n), jnp.float32),
+           jnp.asarray(rng.standard_normal(n), jnp.float32))
+    state = init(n)
+    per = time_kernel(lambda x, s: step(s, x)[1][0], x, aux=state,
+                      k_pair=(4, 32))
+    return n / per / 1e6
+
+
 def main():
+    import os
     tpu, per = bench_tpu_fir_decimate()
     ref = bench_ref_fir_decimate()
     vs = (tpu / ref) if ref else None
@@ -161,6 +189,13 @@ def main():
         "metric": "fastddc 64-channel D=50 (phase-classed inverse)",
         "value": round(ddc50, 1), "unit": "complex Msamples/s/chip",
     }) + "\n")
+    if os.environ.get("CSDR_BENCH_FLAGSHIP"):
+        fl = bench_tpu_flagship()
+        sys.stderr.write(json.dumps({
+            "metric": "flagship 64ch fastddc D=50 + BPSK31 modems",
+            "value": round(fl, 1), "unit": "complex Msamples/s/chip",
+            "x_realtime_2p4Msps": round(fl / 2.4, 0),
+        }) + "\n")
     ddc_tpu = bench_tpu_fastddc()
     ddc_ref1 = bench_ref_fastddc()
     # the reference serves 64 channels with 1 fwd + 64 inv processes; its
