@@ -29,29 +29,44 @@ def fir_flops(kout: int, t: int, d: int, tile_r: int | None):
     ideal = 4.0 * t * kout
     if tile_r is None:
         return ideal, ideal
-    slab = (tile_r - 1) * d + t
+    tr = 128 if tile_r == "vmem" else tile_r   # vmem kernel is a 128-tile
+    slab = (tr - 1) * d + t
     return 4.0 * slab * kout, ideal
 
 
-def bench_fir(tile_r: int, precision_name: str, d=10, taps_len=1023,
+def bench_fir(tile_r, precision_name: str, d=10, taps_len=1023,
               kout=512 * 128):
+    """tile_r: an int pins the XLA Toeplitz path at that output tile;
+    'vmem' measures the pallas VMEM-slab kernel (the production dispatch
+    for long taps)."""
     import jax
     from csdr_tpu import firdes
     from csdr_tpu.core.cplx import CF
-    from csdr_tpu.kernels.fir_pallas import fir_decimate_best
+    from csdr_tpu.kernels import fir_pallas as fp
     from csdr_tpu.utils.timing import time_kernel
     import numpy as np
 
     prec = getattr(jax.lax.Precision, precision_name)
-    taps = jax.numpy.asarray(firdes.firdes_lowpass_f(taps_len, 0.5 / d))
+    taps = np.asarray(firdes.firdes_lowpass_f(taps_len, 0.5 / d), np.float32)
     n = kout * d
     tail = ((taps_len - 1 + d - 1) // d) * d
     rng = np.random.default_rng(0)
     x = CF(jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)),
            jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)))
+    if tile_r == "vmem" and jax.default_backend() == "tpu":
+        fn = lambda x: fp.fir_decimate_vmem(x, taps, d, kout, prec)
+    else:
+        tr = 128 if tile_r == "vmem" else tile_r
+        taps_j = jax.numpy.asarray(taps)
+
+        def fn(x, tr=tr):
+            kout_pad = -(-kout // tr) * tr
+            w = fp._toeplitz_w(taps, d, tr)
+            yr, yi = fp._fir_decimate_toeplitz(x.re, x.im, w, d, kout_pad,
+                                               prec)
+            return CF(yr[:kout], yi[:kout])
     per = time_kernel(
-        lambda x: fir_decimate_best(x, taps, d, kout, prec, tile_r=tile_r), x,
-        k_pair=(512, 8192) if jax.default_backend() == "tpu" else None)
+        fn, x, k_pair=(512, 8192) if jax.default_backend() == "tpu" else None)
     msps = n / per / 1e6
     # compulsory HBM traffic: planar complex in (8 B/sample) + out
     bytes_moved = 8.0 * (n + kout)
@@ -121,7 +136,7 @@ def main():
     sys.stdout.flush()
 
     kout = 128 * 128 if args.quick else 512 * 128
-    tiles = [128] if args.quick else [64, 128, 256]
+    tiles = [128] if args.quick else ["vmem", 64, 128, 256]
     precisions = ["HIGHEST"] if args.quick else ["HIGHEST", "HIGH"]
     best = None
     for taps_len in ([1023] if args.quick else [1023]):
