@@ -300,7 +300,7 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
 
         f0row = jnp.full((chunk,), f0, jnp.float32)
         mz = jnp.zeros((chunk,), bool)
-        (in_rounds, conv, f, _a, _c, dc_e, last_e) = jax.lax.while_loop(
+        (_rounds, conv, f, _a, _c, dc_e, last_e) = jax.lax.while_loop(
             in_cond, in_body,
             (jnp.int32(0), jnp.bool_(False), f0row, mz, mz,
              jnp.int32(0), neg))

@@ -161,9 +161,11 @@ def deemphasis_wfm_block(tau: float, sample_rate: int) -> Block:
     dt = 1.0 / sample_rate
     alpha = dt / (tau + dt)
     b = 1.0 - alpha
-    k_needed = int(np.ceil(np.log(1e-8) / np.log(max(b, 1e-12)))) \
-        if 0.0 < b < 1.0 else 1
-    use_fir = 1 <= k_needed <= 256
+    # kf >= 2 so the carried tail is never 0-length (xcat[-0:] would be
+    # the WHOLE array, growing the state each chunk)
+    k_needed = max(2, int(np.ceil(np.log(1e-8) / np.log(max(b, 1e-12))))) \
+        if 0.0 < b < 1.0 else 2
+    use_fir = k_needed <= 256
 
     if not use_fir:
         def init():

@@ -68,3 +68,28 @@ def test_fastdcblock_matches_reference():
     ours, avg = util_ops.fastdcblock_ff(jnp.asarray(x))
     assert_snr(ref, np.asarray(ours), 90, "fastdcblock")
     assert abs(float(avg) - avg_ref) < 1e-5
+
+
+def test_deemphasis_wfm_fir_form_edges():
+    """The truncated-FIR de-emphasis must (a) match the affine scan at
+    normal alphas across chunk boundaries and (b) keep a fixed-size state
+    at extreme alphas (kf floor of 2: a 0-length tail slice would return
+    the whole array and grow the carry)."""
+    import jax.numpy as jnp
+    from csdr_tpu.ops import demod
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(1000),
+                    jnp.float32)
+    blk = demod.deemphasis_wfm_block(1e-9, 48000)   # alpha ~ 1 -> kf == 2
+    st = blk.init()
+    for _ in range(3):
+        st, y = blk.apply(st, x)
+        assert st.shape == (1,)
+        assert y.shape == (1000,)
+    blk2 = demod.deemphasis_wfm_block(50e-6, 48000)
+    s2 = blk2.init()
+    ys = []
+    for _ in range(2):
+        s2, y = blk2.apply(s2, x)
+        ys.append(np.asarray(y))
+    ref, _ = demod.deemphasis_wfm_ff(jnp.concatenate([x, x]), 50e-6, 48000)
+    assert np.abs(np.concatenate(ys) - np.asarray(ref)).max() < 1e-5
