@@ -48,8 +48,10 @@ def collective_report(fn, *args) -> dict:
     for line in txt.splitlines():
         s = line.strip()
         # result-producing ops look like:  %name = f32[4,448] all-gather(...)
+        # async forms lower as <kind>-start / <kind>-done pairs: count the
+        # -start (it carries the transferred shape), skip the -done
         m = re.match(r"%?[\w.\-]+\s*=\s*(\([^)]*\)|[\w\[\],{}\s]*?)\s*"
-                     r"(" + "|".join(_COLLECTIVES) + r")\(", s)
+                     r"(" + "|".join(_COLLECTIVES) + r")(?:-start)?\(", s)
         if not m:
             continue
         shape_str, kind = m.groups()
