@@ -148,6 +148,8 @@ def _lint_jaxpr(jaxpr, in_taint, findings, depth=0):
             subs = _subjaxprs(eqn)
             if subs:
                 out_t = [False] * len(eqn.outvars)
+                n_carry = eqn.params.get("num_carry")
+                n_consts = eqn.params.get("num_consts", 0)
                 for cj in subs:
                     nin = len(cj.jaxpr.invars)
                     # align taints to sub-jaxpr invars (best effort: pad
@@ -162,10 +164,21 @@ def _lint_jaxpr(jaxpr, in_taint, findings, depth=0):
                         if sub_out == prev:
                             break
                         prev = sub_out
-                        nout = min(len(sub_out), nin)
-                        sub_in = (list(sub_in[:nin - nout]) +
-                                  [a or b for a, b in
-                                   zip(sub_in[nin - nout:], sub_out[:nout])])
+                        if n_carry is not None:
+                            # scan: outputs are [carry..., ys...]; feed the
+                            # carry taints back into the carry slots (after
+                            # the consts), not the xs tail
+                            sub_in = list(sub_in)
+                            for i in range(min(n_carry, len(sub_out))):
+                                j = n_consts + i
+                                if j < nin:
+                                    sub_in[j] = sub_in[j] or sub_out[i]
+                        else:
+                            nout = min(len(sub_out), nin)
+                            sub_in = (list(sub_in[:nin - nout]) +
+                                      [a or b for a, b in
+                                       zip(sub_in[nin - nout:],
+                                           sub_out[:nout])])
                     for i in range(len(out_t)):
                         if i < len(prev or []):
                             out_t[i] = out_t[i] or prev[i]
