@@ -612,11 +612,13 @@ def _c_passthrough(args, _cmd_holder=[None]):
     if cmd == "setbuf":
         # reference csdr.c:1056-1067: sets the process buffer size; here
         # that means the read quantum AND (under dynamic bufsize) the size
-        # announced downstream
+        # announced downstream (consuming the upstream preamble first, per
+        # the getbufsize/sendbufsize chain contract)
         rdsize = _i(args, 0)
         if rdsize <= 0:
             raise SystemExit("bufsize must be >= 1")
         if _dynamic_bufsize_on():
+            getbufsize()
             sendbufsize(rdsize)
     stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
     total, t0 = 0, time.time()
