@@ -609,6 +609,12 @@ def _c_passthrough(args, _cmd_holder=[None]):
     if cmd in ("floatdump_f",):
         cmd = "dump_f"
     rdsize = 65536
+    if _dynamic_bufsize_on() and cmd in ("clone", "REM", "through"):
+        # reference clone/REM relay the negotiated size downstream
+        # (csdr.c:440-444 sendbufsize(initialize_buffers()))
+        sendbufsize(getbufsize())
+    elif _dynamic_bufsize_on() and cmd in ("dump_f", "dump_u8"):
+        getbufsize()        # text output: consume the preamble, send none
     if cmd == "setbuf":
         # reference csdr.c:1056-1067: sets the process buffer size; here
         # that means the read quantum AND (under dynamic bufsize) the size
