@@ -585,8 +585,14 @@ def _c_flowcontrol(args):
     import time
     data_rate = _i(args, 0)
     rps = _f(args, 1)
+    if _dynamic_bufsize_on():
+        # reference flowcontrol reads the preamble and announces its own
+        # read size (csdr.c:1963-1986)
+        getbufsize()
     bufsize = max(1, int(np.ceil(data_rate / rps)))
     sleep_s = 1.0 / rps
+    if _dynamic_bufsize_on():
+        sendbufsize(bufsize)
     sys.stderr.write(f"flowcontrol: bufsize={bufsize} sleep={sleep_s:.6f}s\n")
     stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
     while True:
@@ -1758,6 +1764,8 @@ def _c_fifo(args):
     from collections import deque
     buffer_size = _i(args, 0)
     num_buffers = _i(args, 1)
+    if _dynamic_bufsize_on():
+        sendbufsize(getbufsize())
     q = deque()
     partial = b""
     os.set_blocking(sys.stdin.fileno(), False)
@@ -1816,6 +1824,9 @@ def _c_tee(args):
         raise SystemExit("required parameter <path> is missing.")
     path = args[0]
     num_buffers = _i(args, 1, 100)
+    if _dynamic_bufsize_on():
+        # reference tee relays the negotiated size (csdr.c:3334)
+        sendbufsize(getbufsize())
     f = open(path, "wb")
     sys.stderr.write(f"tee: file opened: {path}\n")
     q = deque(maxlen=num_buffers)
