@@ -735,6 +735,8 @@ def _c_fastdc(args):
 @command("add_n_zero_samples_at_beginning_f")
 def _c_addzero(args):
     n = _i(args, 0)
+    if _dynamic_bufsize_on():
+        sendbufsize(getbufsize())   # reference relays (csdr.c:3153)
     sys.stdout.buffer.write(b"\x00" * (4 * n))
     while True:
         d = sys.stdin.buffer.read(65536)
