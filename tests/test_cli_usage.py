@@ -131,3 +131,33 @@ def test_timing_recovery_octave_save(tmp_path):
                  "--octave", "--octave_save", prefix], iq.tobytes())
     out = p.stdout.decode()
     assert f'print(cf,"{prefix}_0.png","-dpng");' in out
+
+
+def test_dynamic_bufsize_chain_through_relays():
+    """CSDR_DYNAMIC_BUFSIZE_ON chain: source -> clone -> setbuf -> tee ->
+    DSP stage; every relay must consume exactly one preamble and announce
+    its own, so the DSP stage sees clean samples (reference
+    getbufsize/sendbufsize contract, csdr.c:330-376)."""
+    import tempfile
+    env2 = dict(ENV, CSDR_DYNAMIC_BUFSIZE_ON="1")
+
+    def run2(args, stdin_bytes):
+        p = subprocess.run(
+            [sys.executable, "-m", "csdr_tpu.cli", *args],
+            input=stdin_bytes, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, timeout=180, env=env2, cwd=ROOT)
+        assert p.returncode == 0, p.stderr.decode()[-2000:]
+        return p.stdout
+
+    x = (np.arange(4096, dtype=np.float32) / 4096).tobytes()
+    pre = b"csdr" + (4096).to_bytes(4, "little")
+    with tempfile.NamedTemporaryFile() as tf:
+        out = run2(["clone"], pre + x)
+        out = run2(["setbuf", "8192"], out)
+        out = run2(["tee", tf.name], out)
+        out = run2(["gain_ff", "2.0"], out)
+    # gain_ff is a pump command: consumes the preamble, announces its own
+    assert out[:4] == b"csdr", out[:8]
+    y = np.frombuffer(out[8:], np.float32)
+    np.testing.assert_allclose(
+        y, np.arange(4096, dtype=np.float32) / 4096 * 2.0, rtol=1e-6)
