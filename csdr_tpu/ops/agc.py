@@ -234,105 +234,134 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     # signals (the affine growth through a long chunk amplifies early mask
     # errors); 8k chunks + the outer boundary wave converge everywhere
     # tested, with `converged` verifying each call.
+    chunk = -(-chunk // 128) * 128      # column-major layout needs 128 | chunk
+    sub = chunk // 128
     pad = (-m) % chunk
     xp = jnp.concatenate([body_in, jnp.zeros((pad,), jnp.float32)])
     nchunks = xp.shape[0] // chunk
-    xc = xp.reshape(nchunks, chunk)
+    # COLUMN-MAJOR per-chunk layout (B, SUB, 128): chunk sample i lives at
+    # row i % SUB of column i // SUB.  All the per-round scans then run
+    # along the SUBLANE axis with a tiny 128-lane carry scan — measured
+    # 3-6x faster than lane-axis scans on this backend (the affine pair
+    # scan alone: 69 -> 16 us at 49k samples).
+    xc = xp.reshape(nchunks, 128, sub).transpose(0, 2, 1)    # [b, r, j]
+    nz = xc != 0
+    c = jnp.where(nz, reference / jnp.maximum(jnp.abs(xc), 1e-30), 0.0)
 
-    def chunk_body(f0, h0, xrow):
-        nz = xrow != 0
-        c = jnp.where(nz, reference / jnp.maximum(jnp.abs(xrow), 1e-30), 0.0)
+    def comb(l, r):
+        return l[0] * r[0], l[1] * r[0] + r[1]
 
-        def trajectory_step(f):
-            """One waveform-relaxation round: derive every per-sample branch
-            from the gain trajectory, then one affine associative scan.
+    def trajectory_step(f, ef, eh):
+        """One waveform-relaxation round for ALL chunks: derive every
+        per-sample branch from the gain trajectory, then one affine scan.
 
-            Branches: attack (c < f_prev), hang-frozen decay (a cumsum/
-            cummax distance-since-last-attack), and the reference's
-            max_gain clip BEFORE the gain filter — the clipped step
-            f_n = max_gain + (1-alpha) f_{n-1} is itself affine, so the
-            clip is a mask, not a nonlinearity.  The clip test uses the
-            FROZEN-aware rate (frozen samples never clip: dgain = 0)."""
-            f_prev = jnp.concatenate([jnp.reshape(f0, (1,)), f[:-1]])
-            attack = nz & (c < f_prev)
-            decay = nz & (~attack)
-            dc = jnp.cumsum(decay.astype(jnp.int32))
-            last = jax.lax.cummax(jnp.where(attack, dc, neg))
-            # entering hang: virtual attack h0 decay-steps "ago"
-            last = jnp.maximum(last, jnp.where(h0 > 0, h0 - hang_time, neg))
-            frozen = decay & (last > neg // 2) & (dc - last <= hang_time)
-            rate = jnp.where(attack, attack_rate,
-                             jnp.where(decay & ~frozen, decay_rate, 0.0)
-                             ).astype(jnp.float32)
-            gain_pred = f_prev + rate * (c - f_prev)
-            # the reference clips OUTSIDE the input!=0 branch
-            # (libcsdr_gpl.c `if(gain>max_gain)` runs every sample), so a
-            # zero/frozen step (rate=0, gain_pred=f_prev) must also clamp —
-            # else a long zero run grows f by (2-alpha)/step unboundedly.
-            clip_hi = gain_pred > max_gain
-            a = jnp.where(clip_hi, one_m_alpha,
-                          (1.0 - rate) + one_m_alpha).astype(jnp.float32)
-            b = jnp.where(clip_hi, max_gain, rate * c).astype(jnp.float32)
+        Branches: attack (c < f_prev), hang-frozen decay (a cumsum/cummax
+        distance-since-last-attack), and the reference's max_gain clip
+        BEFORE the gain filter — the clipped step f_n = max_gain +
+        (1-alpha) f_{n-1} is itself affine, so the clip is a mask, not a
+        nonlinearity.  ef/eh (B,): per-chunk entry gain / hang.
 
-            def comb(l, r):
-                return l[0] * r[0], l[1] * r[0] + r[1]
+        Every sequential scan is two-level in the CM layout: sublane scan
+        within columns + a 128-lane carry scan + broadcast apply."""
+        # f_prev in sample order: down-sublane shift; row 0 of column j
+        # comes from the last row of column j-1, column 0 from the entry
+        top = jnp.roll(f[:, -1, :], 1, axis=-1)
+        top = top.at[:, 0].set(ef)
+        f_prev = jnp.concatenate([top[:, None, :], f[:, :-1, :]], axis=1)
+        attack = nz & (c < f_prev)
+        decay = nz & (~attack)
+        s1 = jnp.cumsum(decay.astype(jnp.int32), axis=1)
+        csum = jnp.concatenate(
+            [jnp.zeros((nchunks, 1), jnp.int32),
+             jnp.cumsum(s1[:, -1, :], axis=1)[:, :-1]], axis=1)
+        dc = s1 + csum[:, None, :]
+        l1 = jax.lax.cummax(jnp.where(attack, dc, neg), axis=1)
+        lcar = jnp.concatenate(
+            [jnp.full((nchunks, 1), neg, jnp.int32),
+             jax.lax.cummax(l1[:, -1, :], axis=1)[:, :-1]], axis=1)
+        last = jnp.maximum(l1, lcar[:, None, :])
+        # entering hang: virtual attack eh decay-steps "ago"
+        last = jnp.maximum(
+            last, jnp.where(eh > 0, eh - hang_time, neg)[:, None, None])
+        frozen = decay & (last > neg // 2) & (dc - last <= hang_time)
+        rate = jnp.where(attack, attack_rate,
+                         jnp.where(decay & ~frozen, decay_rate, 0.0)
+                         ).astype(jnp.float32)
+        gain_pred = f_prev + rate * (c - f_prev)
+        # the reference clips OUTSIDE the input!=0 branch
+        # (libcsdr_gpl.c `if(gain>max_gain)` runs every sample), so a
+        # zero/frozen step (rate=0, gain_pred=f_prev) must also clamp —
+        # else a long zero run grows f by (2-alpha)/step unboundedly.
+        clip_hi = gain_pred > max_gain
+        a = jnp.where(clip_hi, one_m_alpha,
+                      (1.0 - rate) + one_m_alpha).astype(jnp.float32)
+        b = jnp.where(clip_hi, max_gain, rate * c).astype(jnp.float32)
+        ca, cb = jax.lax.associative_scan(comb, (a, b), axis=1)
+        ga, gb = jax.lax.associative_scan(
+            comb, (ca[:, -1, :], cb[:, -1, :]), axis=1)
+        ent_a = jnp.concatenate(
+            [jnp.ones((nchunks, 1), jnp.float32), ga[:, :-1]], axis=1)
+        ent_b = jnp.concatenate(
+            [jnp.zeros((nchunks, 1), jnp.float32), gb[:, :-1]], axis=1)
+        f_in = ent_a * ef[:, None] + ent_b          # column entry values
+        f_new = ca * f_in[:, None, :] + cb
+        return f_new, (attack, clip_hi), (dc, last)
 
-            ca, cb = jax.lax.associative_scan(comb, (a, b))
-            f_new = ca * f0 + cb
-            return f_new, (attack, clip_hi), (dc, last)
-
-        # inner relaxation to the mask fixpoint, exiting as soon as the
-        # branch masks are stable (empirically 4-6 rounds; `iters` caps it)
+    def relax(ef, eh, f_seed):
+        """Inner relaxation to the mask fixpoint for all chunks at fixed
+        entries, exiting as soon as the branch masks are stable
+        (empirically 4-6 rounds; `iters` caps it)."""
         def in_cond(st):
             i, stable, *_ = st
             return (~stable) & (i < iters)
 
         def in_body(st):
             i, _, f, att_p, clip_p, _dc, _last = st
-            f_new, (att, clip), (dc, last) = trajectory_step(f)
+            f_new, (att, clip), (dc, last) = trajectory_step(f, ef, eh)
             # i > 0: round-1 masks must not be compared against the
             # all-False INITIALIZER (a quiet signal derives no attacks
             # from the flat seed and would spuriously "stabilize" on a
             # pure-decay explosion)
             stable = ((i > 0) & jnp.all(att == att_p)
                       & jnp.all(clip == clip_p))
-            return (i + 1, stable, f_new, att, clip, dc[-1], last[-1])
+            return (i + 1, stable, f_new, att, clip,
+                    dc[:, -1, -1], last[:, -1, -1])
 
-        f0row = jnp.full((chunk,), f0, jnp.float32)
-        mz = jnp.zeros((chunk,), bool)
+        mz = jnp.zeros((nchunks, sub, 128), bool)
         (_rounds, conv, f, _a, _c, dc_e, last_e) = jax.lax.while_loop(
             in_cond, in_body,
-            (jnp.int32(0), jnp.bool_(False), f0row, mz, mz,
-             jnp.int32(0), neg))
+            (jnp.int32(0), jnp.bool_(False), f_seed, mz, mz,
+             jnp.zeros((nchunks,), jnp.int32),
+             jnp.full((nchunks,), neg, jnp.int32)))
         # mask stability == verification: the masks derived from the final
         # trajectory reproduce it, so the sequential recurrence holds.
-        # (dc_e/last_e lag one round behind f, but they are mask-derived
-        # and the masks were stable for the exiting round.)
         h_out = jnp.clip(jnp.where(last_e > neg // 2,
                                    hang_time - (dc_e - last_e), 0),
-                         0, hang_time)
-        return f, h_out.astype(jnp.int32), conv
+                         0, hang_time).astype(jnp.int32)
+        return f, h_out, conv
 
     # OUTER waveform relaxation over chunk boundaries: all chunks run in
-    # PARALLEL (vmapped) seeded with guessed entry (gain, hang); each outer
-    # round replaces entries with the previous chunk's exits.  Chunk 0 is
-    # exact after round 1, chunk k after round k+1, so the loop reaches the
-    # exact sequential fixpoint in <= nchunks rounds (usually 2-4: boundary
-    # gains settle fast) — replacing the serial chunk scan entirely.
-    vchunks = jax.vmap(chunk_body)
+    # PARALLEL seeded with guessed entry (gain, hang); each outer round
+    # replaces entries with the previous chunk's exits.  Chunk 0 is exact
+    # after round 1, chunk k after round k+1, so the loop reaches the
+    # exact sequential fixpoint in <= nchunks rounds (usually 2-4:
+    # boundary gains settle fast) — replacing the serial chunk scan.
     h0i = h0_in
     ef0 = jnp.full((nchunks,), f0g, jnp.float32)
     eh0 = jnp.full((nchunks,), h0i, jnp.int32)
-    frows0 = jnp.zeros((nchunks, chunk), jnp.float32)
+    frows0 = jnp.full((nchunks, sub, 128), f0g, jnp.float32)
 
     def outer_cond(st):
         i, stable, *_ = st
         return (~stable) & (i <= nchunks + 1)
 
     def outer_body(st):
-        i, _, ef, eh, _f, _h, _c = st
-        frows, houts, convs = vchunks(ef, eh, xc)
-        new_ef = jnp.concatenate([jnp.reshape(f0g, (1,)), frows[:-1, -1]])
+        i, _, ef, eh, f_prev_rows, _h, _c = st
+        frows, houts, conv = relax(
+            ef, eh, jnp.broadcast_to(ef[:, None, None],
+                                     f_prev_rows.shape).astype(jnp.float32))
+        new_ef = jnp.concatenate([jnp.reshape(f0g, (1,)),
+                                  frows[:-1, -1, -1]])
         new_eh = jnp.concatenate([jnp.reshape(h0i, (1,)), houts[:-1]])
         # early stop on ~1e-6 relative boundary-gain agreement (the exact
         # bitwise wave needs a full nchunks rounds; the trajectories agree
@@ -340,15 +369,14 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
         close = jnp.all(jnp.abs(new_ef - ef) <=
                         1e-6 * jnp.maximum(jnp.abs(ef), 1e-3))
         stable = close & jnp.all(new_eh == eh)
-        return (i + 1, stable, new_ef, new_eh, frows, houts[-1],
-                jnp.all(convs))
+        return (i + 1, stable, new_ef, new_eh, frows, houts[-1], conv)
 
     (_i, stable, _ef, _eh, frows, h_end, conv_all) = jax.lax.while_loop(
         outer_cond, outer_body,
         (jnp.int32(0), jnp.bool_(False), ef0, eh0, frows0, h0i,
          jnp.bool_(False)))
     converged = stable & conv_all
-    f_all = frows.reshape(-1)[:m]
+    f_all = frows.transpose(0, 2, 1).reshape(-1)[:m]
     # the reference emits with the UPDATED filtered gain (y = gain_filt * x)
     y = jnp.concatenate([jnp.reshape(f0g * x[0], (1,)), f_all * body_in])
     next_gain = f_all[m - 1] if m > 0 else f0g
