@@ -89,31 +89,35 @@ def realpart_cf(x: CF):
 
 
 def _affine_prefix_2level(bs, as_, y0, chunk: int = 1024):
-    """Prefix of y <- b*y + a over (mul, add) pairs, TWO-LEVEL: in-chunk
-    associative scans (vectorized over chunk rows) + a tiny scan over the
-    per-chunk reductions.  ~10x faster than one flat associative_scan at
-    1M elements on this backend (smaller log-depth intermediates).  Inputs
-    are padded with identity elements (b=1, a=0) to a chunk multiple."""
+    """Prefix of y <- b*y + a over (mul, add) pairs, TWO-LEVEL in a
+    COLUMN-MAJOR (SUB, 128) layout: per-column scans run along the
+    SUBLANE axis (measured ~13x faster than lane-axis scans on this
+    backend: 6 vs 82 us at 49k elements) + a 128-lane carry scan over the
+    column totals + a broadcast apply.  Sample i lives at row i % SUB of
+    column i // SUB; inputs are padded with identity elements (b=1, a=0).
+    (`chunk` is kept for API compatibility; the layout fixes C=128.)"""
     n = bs.shape[0]
-    pad = (-n) % chunk
+    c_cols = 128
+    sub = -(-n // c_cols)
+    pad = sub * c_cols - n
     if pad:
         bs = jnp.concatenate([bs, jnp.ones((pad,), jnp.float32)])
         as_ = jnp.concatenate([as_, jnp.zeros((pad,), jnp.float32)])
-    nb = bs.shape[0] // chunk
-    bm = bs.reshape(nb, chunk)
-    am = as_.reshape(nb, chunk)
+    bm = bs.reshape(c_cols, sub).T          # [r, j]: sample j*sub + r
+    am = as_.reshape(c_cols, sub).T
 
     def combine(l, r):
         bl, al = l
         br, ar = r
         return bl * br, al * br + ar
 
-    cb, ca = jax.lax.associative_scan(combine, (bm, am), axis=1)
-    gb, ga = jax.lax.associative_scan(combine, (cb[:, -1], ca[:, -1]))
-    y_in = jnp.concatenate([jnp.reshape(jnp.asarray(y0, jnp.float32), (1,)),
-                            gb[:-1] * y0 + ga[:-1]])
-    y = cb * y_in[:, None] + ca
-    return y.reshape(-1)[:n]
+    cb, ca = jax.lax.associative_scan(combine, (bm, am), axis=0)
+    gb, ga = jax.lax.associative_scan(combine, (cb[-1, :], ca[-1, :]))
+    y0f = jnp.asarray(y0, jnp.float32)
+    y_in = jnp.concatenate([jnp.reshape(y0f, (1,)),
+                            gb[:-1] * y0f + ga[:-1]])   # column entries
+    y = cb * y_in[None, :] + ca
+    return y.T.reshape(-1)[:n]
 
 
 def _one_pole_scan(x, alpha, y0):
