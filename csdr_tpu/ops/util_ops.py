@@ -42,14 +42,12 @@ def dcblock_ff(x, a=0.999, last_input=0.0, last_output=0.0):
     v = x - prev                       # feed-forward part
     n = x.shape[0]
     bs = jnp.full((n,), a, jnp.float32)
-
-    def combine(l, r):
-        bl, al = l
-        br, ar = r
-        return bl * br, al * br + ar
-
-    cb, ca = jax.lax.associative_scan(combine, (bs, v.astype(jnp.float32)))
-    y = cb * jnp.asarray(last_output, jnp.float32) + ca
+    # shared two-level column-major affine prefix (a flat 1-D scan at 1M
+    # elements is ~13x slower on this backend and was observed to wedge
+    # the axon worker)
+    from csdr_tpu.ops.demod import _affine_prefix_2level
+    y = _affine_prefix_2level(bs, v.astype(jnp.float32),
+                              jnp.asarray(last_output, jnp.float32))
     return y, (x[-1], y[-1])
 
 
