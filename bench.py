@@ -149,8 +149,45 @@ def bench_tpu_flagship(frames_target=1475):
     return n / per / 1e6
 
 
+def _probe_device(max_wait_s: float = 480.0) -> bool:
+    """The axon worker occasionally wedges (tiny ops hang; recovery takes
+    10-40 min).  Probe with a watchdog and wait a bounded time so a bench
+    launched into a wedge can still succeed, instead of hanging forever."""
+    import threading
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+
+    def once(timeout=60.0):
+        out = {}
+
+        def run():
+            try:
+                out["v"] = float(jax.device_get(jnp.sum(jnp.ones(8))))
+            except Exception as e:   # noqa: BLE001
+                out["e"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout)
+        return "v" in out
+
+    deadline = _t.time() + max_wait_s
+    while _t.time() < deadline:
+        if once():
+            return True
+        sys.stderr.write("bench: device probe timed out (wedged axon "
+                         "worker?) — waiting...\n")
+        _t.sleep(30)
+    return False
+
+
 def main():
     import os
+    import jax
+    if jax.default_backend() == "tpu" and not _probe_device():
+        sys.stderr.write("bench: TPU unavailable after wait; aborting\n")
+        return 1
     tpu, per = bench_tpu_fir_decimate()
     ref = bench_ref_fir_decimate()
     vs = (tpu / ref) if ref else None
@@ -221,4 +258,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
