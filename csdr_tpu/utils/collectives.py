@@ -12,7 +12,6 @@ from __future__ import annotations
 import re
 
 import jax
-import numpy as np
 
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                 "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8, "c64": 8}
