@@ -46,7 +46,11 @@ def bench_fir(tile_r, precision_name: str, d=10, taps_len=1023,
     from csdr_tpu.utils.timing import time_kernel
     import numpy as np
 
-    prec = getattr(jax.lax.Precision, precision_name)
+    # HIGH1..HIGH4 are the vmem kernel's dot-packing variants (strings pass
+    # straight through fir_decimate_vmem); everything else is a lax.Precision
+    prec = (precision_name if precision_name.startswith("HIGH") and
+            len(precision_name) == 5 else
+            getattr(jax.lax.Precision, precision_name))
     taps = np.asarray(firdes.firdes_lowpass_f(taps_len, 0.5 / d), np.float32)
     n = kout * d
     tail = ((taps_len - 1 + d - 1) // d) * d
@@ -114,14 +118,54 @@ def bench_fastddc(decimation=16, channels=64, frames=1024):
     return per, n / per / 1e6, bytes_moved, f_fft + f_inv, f_fft + f_inv_ideal
 
 
+def variants_sweep():
+    """Time the vmem kernel's HIGH dot-packing variants (same bf16x3
+    product, different MXU dispatch shapes) and check each against the
+    HIGHEST-precision pallas output.  Run on the real chip."""
+    import jax
+    import numpy as np
+    from csdr_tpu import firdes
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.kernels import fir_pallas as fp
+    from csdr_tpu.utils.timing import time_kernel
+
+    d, taps_len, kout = 10, 1023, 512 * 128
+    taps = np.asarray(firdes.firdes_lowpass_f(taps_len, 0.5 / d), np.float32)
+    n = kout * d
+    tail = ((taps_len - 1 + d - 1) // d) * d
+    rng = np.random.default_rng(0)
+    x = CF(jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)),
+           jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)))
+    ref = fp.fir_decimate_vmem(x, taps, d, kout, jax.lax.Precision.HIGHEST)
+    ref_r = np.asarray(jax.device_get(ref.re))
+    ref_i = np.asarray(jax.device_get(ref.im))
+    pref = float(np.mean(ref_r**2 + ref_i**2))
+    for pn in ("HIGH1", "HIGH2", "HIGH3", "HIGH4"):
+        y = fp.fir_decimate_vmem(x, taps, d, kout, pn)
+        yr = np.asarray(jax.device_get(y.re))
+        yi = np.asarray(jax.device_get(y.im))
+        perr = float(np.mean((yr - ref_r)**2 + (yi - ref_i)**2))
+        snr = 10 * np.log10(pref / perr) if perr else float("inf")
+        per = time_kernel(lambda x, pn=pn: fp.fir_decimate_vmem(
+            x, taps, d, kout, pn), x, k_pair=(512, 8192))
+        print(json.dumps({"variant": pn, "Msps": round(n / per / 1e6, 1),
+                          "snr_vs_pallas_HIGHEST_dB": round(snr, 1)}))
+        sys.stdout.flush()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--variants", action="store_true",
+                    help="sweep the vmem HIGH dot-packing variants only")
     args = ap.parse_args()
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.variants:
+        variants_sweep()
+        return
 
     from csdr_tpu.utils import roofline
 

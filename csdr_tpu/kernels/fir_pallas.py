@@ -222,24 +222,46 @@ def _fir_vmem_kernel(xm_re, xh_re, xm_im, xh_im, w1_ref,
     r_re = pltpu.roll(st_re, shift=up1, axis=0)
     r_im = pltpu.roll(st_im, shift=up1, axis=0)
     a = jnp.concatenate([st_re[:jb, :], st_im[:jb, :]], axis=0)  # (2JB, rd)
-    if precision == "HIGH":
-        # Mosaic has no Precision.HIGH dot; do the bf16x3 error-compensated
-        # product by hand: x = hi + lo (bf16 split), w likewise (host-side
-        # w_ref is stacked [hi; lo] along rows), y ~= hi@w_hi + hi@w_lo
-        # + lo@w_hi.  ~107 dB SNR vs f32 at 1023 taps (the w split is
-        # exact, so only the x-side lo*lo term is dropped), ~1.5x the
-        # HIGHEST rate.  Both window halves are fused into ONE operand
+    if precision in ("HIGH1", "HIGH2", "HIGH3", "HIGH4"):
+        # Mosaic has no Precision.HIGH dot; all four variants compute the
+        # same bf16x3 error-compensated product by hand (x = hi + lo bf16
+        # split, w likewise; y ~= hi@w_hi + hi@w_lo + lo@w_hi — the w split
+        # is exact, so only the x-side lo*lo term is dropped: ~107 dB SNR
+        # vs f32 at 1023 taps, ~1.5x the HIGHEST rate).  They differ only
+        # in how the three partial products are packed into MXU dot
+        # dispatches (bench_roofline.py --variants measures the sweep);
+        # `fir_decimate_vmem` maps the public "HIGH" to the winner.
+        # In every variant both window halves are fused into ONE operand
         # [a | b[:, :k2]] so each pass is a single large dot (measured +7%
         # over two dots per pass).
-        k2 = w1_ref.shape[0] // 2 - a.shape[1]
-        b = jnp.concatenate([r_re[:jb, :k2], r_im[:jb, :k2]], axis=0)
-        ab = jnp.concatenate([a, b], axis=1)          # (2JB, rd+k2)
-        kk = w1_ref.shape[0] // 2
-        wh, wl = w1_ref[:kk, :], w1_ref[kk:, :]
         dotb = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+        if precision in ("HIGH1", "HIGH3"):
+            kk = w1_ref.shape[0] // 2      # w1 = [hi; lo] rows, (2K, 128)
+            k2 = kk - a.shape[1]
+        else:
+            kk = w1_ref.shape[0]           # w1 = [hi | lo] lanes, (K, 256)
+            k2 = kk - a.shape[1]
+        b = jnp.concatenate([r_re[:jb, :k2], r_im[:jb, :k2]], axis=0)
+        ab = jnp.concatenate([a, b], axis=1)          # (2JB, K)
         ab_hi = ab.astype(jnp.bfloat16)
         ab_lo = (ab - ab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        y = dotb(ab_hi, wh) + dotb(ab_hi, wl) + dotb(ab_lo, wh)
+        if precision == "HIGH1":           # r2 baseline: three N=128 dots
+            wh, wl = w1_ref[:kk, :], w1_ref[kk:, :]
+            y = dotb(ab_hi, wh) + dotb(ab_hi, wl) + dotb(ab_lo, wh)
+        elif precision == "HIGH2":         # hi-side passes share an N=256 dot
+            y2 = dotb(ab_hi, w1_ref[:, :])            # (2JB, 256)
+            y3 = dotb(ab_lo, w1_ref[:, :128])
+            y = y2[:, :128] + y2[:, 128:] + y3
+        elif precision == "HIGH3":         # wh passes share an M=4JB dot
+            wh, wl = w1_ref[:kk, :], w1_ref[kk:, :]
+            hl = jnp.concatenate([ab_hi, ab_lo], axis=0)   # (4JB, K)
+            y13 = dotb(hl, wh)                             # (4JB, 128)
+            y = y13[: 2 * jb, :] + y13[2 * jb:, :] + dotb(ab_hi, wl)
+        else:                              # HIGH4: ONE dot, exact bf16x4
+            hl = jnp.concatenate([ab_hi, ab_lo], axis=0)   # (4JB, K)
+            yq = dotb(hl, w1_ref[:, :])                    # (4JB, 256)
+            y = (yq[: 2 * jb, :128] + yq[: 2 * jb, 128:]
+                 + yq[2 * jb:, :128] + yq[2 * jb:, 128:])
     else:
         k2 = w1_ref.shape[0] - a.shape[1]
         b = jnp.concatenate([r_re[:jb, :k2], r_im[:jb, :k2]], axis=0)
@@ -263,8 +285,11 @@ def _fir_decimate_vmem(x_re, x_im, w1, decimation: int, kout: int,
     x2_re = x_re[: nrows * rd].reshape(nrows, rd)
     x2_im = x_im[: nrows * rd].reshape(nrows, rd)
     kern = functools.partial(_fir_vmem_kernel, jb=jb, precision=prec_name)
+    import os
+    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
     o_re, o_im = pl.pallas_call(
         kern,
+        interpret=interp,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((jb, rd), lambda i: (i, 0),
@@ -275,7 +300,7 @@ def _fir_decimate_vmem(x_re, x_im, w1, decimation: int, kout: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, rd), lambda i: (i * (jb // 8) + jb // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w1.shape[0], 128), lambda i: (0, 0),
+            pl.BlockSpec((w1.shape[0], w1.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -314,12 +339,25 @@ def _toeplitz_w_cat_cached(taps_key, d: int, prec_name: str):
         w[rr * d: rr * d + t, rr] = taps
     k2 = max(128, _round_up(max(slab_len - rd, 1), 128))
     wcat = np.concatenate([w[:rd], w[rd: rd + k2]], axis=0)
-    if prec_name == "HIGH":
+    if prec_name in ("HIGH1", "HIGH3"):    # [hi; lo] stacked along rows
         import ml_dtypes
         hi = wcat.astype(ml_dtypes.bfloat16)
         lo = (wcat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
         return np.concatenate([hi, lo], axis=0)
+    if prec_name in ("HIGH2", "HIGH4"):    # [hi | lo] stacked along lanes
+        import ml_dtypes
+        hi = wcat.astype(ml_dtypes.bfloat16)
+        lo = (wcat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return np.concatenate([hi, lo], axis=1)
     return wcat
+
+
+# Which dot-packing variant the public "HIGH" precision dispatches to
+# (see _fir_vmem_kernel): HIGH1 = three N=128 dots (r2 baseline),
+# HIGH2 = hi-side passes share an N=256 dot, HIGH3 = wh passes share an
+# M=4JB dot, HIGH4 = one (4JB, K)@(K, 256) dot.  All compute the same
+# bf16x3 product; bench_roofline.py --variants measures the sweep.
+_HIGH_VARIANT = "HIGH1"
 
 
 def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
@@ -345,6 +383,8 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
                   jnp.concatenate([xcat.im, jnp.zeros((pad,), xcat.im.dtype)]))
     prec_name = (precision.name if hasattr(precision, "name")
                  else str(precision))
+    if prec_name == "HIGH":
+        prec_name = _HIGH_VARIANT   # measured winner of the dot-packing sweep
     w1 = _toeplitz_w_cat_cached(
         np.asarray(taps, np.float32).tobytes(), d, prec_name)
     yr, yi = _fir_decimate_vmem(xcat.re, xcat.im, jnp.asarray(w1),

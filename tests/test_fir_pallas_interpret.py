@@ -1,0 +1,75 @@
+"""CPU coverage for the VMEM-slab pallas FIR kernel via interpret mode.
+
+The production kernel (csdr_tpu/kernels/fir_pallas.py, reference hot loop
+libcsdr.c:528-549) normally only runs on TPU; CSDR_PALLAS_INTERPRET=1 runs
+the same kernel body through the pallas interpreter so every HIGH dot-
+packing variant and the HIGHEST path get CI coverage without a chip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from csdr_tpu import firdes
+from csdr_tpu.core.cplx import CF
+from csdr_tpu.kernels import fir_pallas as fp
+from csdr_tpu.ops.fir import fir_decimate_cc
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+
+
+def _mk_input(kout, d, t, seed=0):
+    n = kout * d
+    tail = ((t - 1 + d - 1) // d) * d
+    rng = np.random.default_rng(seed)
+    return CF(jnp.asarray(rng.standard_normal(n + tail).astype(np.float32)),
+              jnp.asarray(rng.standard_normal(n + tail).astype(np.float32)))
+
+
+def _snr_db(y, ref_r, ref_i):
+    perr = float(np.mean((np.asarray(y.re) - ref_r) ** 2
+                         + (np.asarray(y.im) - ref_i) ** 2))
+    pref = float(np.mean(ref_r ** 2 + ref_i ** 2))
+    return 10 * np.log10(pref / max(perr, 1e-300))
+
+
+def test_vmem_kernel_highest_matches_xla():
+    d, t = 10, 1023
+    kout = 2 * 64 * 128            # two grid steps at jb=64
+    x = _mk_input(kout, d, t)
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    ref = fir_decimate_cc(x, jnp.asarray(taps), d,
+                          jax.lax.Precision.HIGHEST)[:kout]
+    y = fp.fir_decimate_vmem(x, taps, d, kout, jax.lax.Precision.HIGHEST)
+    assert _snr_db(y, np.asarray(ref.re), np.asarray(ref.im)) > 120
+
+
+@pytest.mark.parametrize("variant", ["HIGH1", "HIGH2", "HIGH3", "HIGH4"])
+def test_vmem_kernel_high_variants(variant):
+    """All four dot-packings compute the same bf16x3 product (HIGH4 adds
+    the lo*lo term): >=100 dB vs the f32 path, and mutually consistent."""
+    d, t = 10, 1023
+    kout = 64 * 128
+    x = _mk_input(kout, d, t)
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    ref = fp.fir_decimate_vmem(x, taps, d, kout, jax.lax.Precision.HIGHEST)
+    rr, ri = np.asarray(ref.re), np.asarray(ref.im)
+    y = fp.fir_decimate_vmem(x, taps, d, kout, variant)
+    assert _snr_db(y, rr, ri) > 100
+
+
+def test_vmem_kernel_small_jb_path():
+    """kout below 64*128 takes the jb=8 tile; exercise it."""
+    d, t = 10, 1023
+    kout = 8 * 128
+    x = _mk_input(kout, d, t)
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    ref = fir_decimate_cc(x, jnp.asarray(taps), d,
+                          jax.lax.Precision.HIGHEST)[:kout]
+    y = fp.fir_decimate_vmem(x, taps, d, kout, jax.lax.Precision.HIGHEST)
+    assert _snr_db(y, np.asarray(ref.re), np.asarray(ref.im)) > 120
