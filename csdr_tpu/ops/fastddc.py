@@ -399,6 +399,8 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
     for ch in chans:
         assert ch.fft_size == ddc.fft_size and ch.fft_inv_size == ddc.fft_inv_size
     if ddc.post_input_size % ddc.post_decimation == 0:
+        if jax.default_backend() == "tpu":
+            return _fastddc_inv_vmem_block(ddc, rates)
         return _fastddc_inv_fused_block(ddc, rates)
     return _fastddc_inv_classed_block(ddc, rates)
 
@@ -479,6 +481,86 @@ def fastddc_inv_factored_batch(spectra: CF, tq: CF, e: CF,
     return CF(y_re, y_im)
 
 
+def channel_factored2_arrays(ddc: FastDDC, rates):
+    """Host arrays for the SHARED-iDFT factored inverse (factored-v2).
+
+    The r2 factored form (channel_factored_arrays) still needed a per-channel
+    iDFT matrix E_c = (W ⊙ b_c) row-rolled by the channel's fold shift cc_c,
+    which forces C small batched matmuls.  But the roll is removable: the
+    selected output times t_o = scrap + post*o are INTEGERS, so rolling the
+    row index of W[k, o] = exp(2πi (k+inv/2) t_o / inv)/inv is exactly a
+    column scaling:
+
+        W[(k+cc) mod inv, o] = W[k, o] * exp(2πi cc t_o / inv)
+
+    (the mod wrap drops because exp(2πi t_o) = 1).  Hence
+
+        out[b, c, o] = (Z[b, c, :] @ W)[o] * d_c[o],
+        Z[b, c, m]   = sum_j spectra[b, j*inv + m] * TQ[c, j, m],
+        d_c[o]       = exp(2πi cc_c t_o / inv) * b_nco_c[o]
+
+    — ONE shared (B*C, inv) @ (inv, M) MXU matmul for ALL channels plus an
+    elementwise diagonal, ~fft*M/(fft + inv*M) x fewer MACs than the fused
+    dense G (8x at D=16) with perfect matmul shape.  Mirrors the same
+    linear map as fastddc.c:106-166 per channel.
+
+    Returns (TQ (C, pre, inv) c64, W (inv, M) c64, D (C, M) c64,
+    frame_cyc (C,) f64)."""
+    inv, fft, pre = ddc.fft_inv_size, ddc.fft_size, ddc.pre_decimation
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    assert pis % post == 0
+    m = pis // post
+    half_bw = 0.5 / (ddc.pre_decimation * ddc.post_decimation)
+    k = np.arange(inv)[:, None]
+    t_sel = ddc.scrap + post * np.arange(m)[None, :]
+    w = (np.exp(2j * np.pi * (k + inv // 2) * t_sel / inv) / inv)
+    tq_list, d_list, cyc_list = [], [], []
+    for rate in map(float, rates):
+        ch = fastddc_init(ddc.transition_bw,
+                          ddc.pre_decimation * ddc.post_decimation, rate,
+                          ddc.window)
+        taps = firdes.firdes_bandpass_c(ch.taps_length, -rate - half_bw,
+                                        -rate + half_bw, ddc.window)
+        padded = np.zeros(fft, np.complex128)
+        padded[: ch.taps_length] = taps
+        tq = (np.fft.fft(padded) / pre).astype(np.complex64)
+        cc = (-ch.offsetbin + inv // 2) % inv
+        dsa = np.float64(np.float32(ch.post_shift)) * post
+        b_nco = np.exp(2j * np.pi * np.mod(np.arange(m) * dsa, 1.0))
+        roll_fac = np.exp(2j * np.pi * cc * t_sel[0] / inv)
+        tq_list.append(tq.reshape(pre, inv))
+        d_list.append((roll_fac * b_nco).astype(np.complex64))
+        cyc_list.append(np.mod(m * dsa, 1.0))
+    return (np.stack(tq_list), w.astype(np.complex64), np.stack(d_list),
+            np.asarray(cyc_list, np.float64))
+
+
+def fastddc_inv_factored2_batch(spectra: CF, tq: CF, w: CF, d: CF,
+                                precision=jax.lax.Precision.HIGH):
+    """Factored-v2 inverse (XLA form): VPU fold + ONE shared iDFT matmul +
+    per-channel output diagonal (see channel_factored2_arrays; before the
+    per-frame NCO).  spectra CF (B, fft); tq CF (C, pre, inv);
+    w CF (inv, M); d CF (C, M).  Returns CF (C, B, M)."""
+    b = spectra.shape[0]
+    c, pre, inv = tq.shape
+    r2_re = spectra.re.reshape(b, pre, inv)
+    r2_im = spectra.im.reshape(b, pre, inv)
+    es = lambda u, v: jnp.einsum("bjm,cjm->cbm", u, v,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+    z_re = es(r2_re, tq.re) - es(r2_im, tq.im)          # (C, B, inv)
+    z_im = es(r2_re, tq.im) + es(r2_im, tq.re)
+    z_re = z_re.reshape(c * b, inv)
+    z_im = z_im.reshape(c * b, inv)
+    dot = lambda u, v: jnp.dot(u, v, precision=precision,
+                               preferred_element_type=jnp.float32)
+    y_re = (dot(z_re, w.re) - dot(z_im, w.im)).reshape(c, b, -1)
+    y_im = (dot(z_re, w.im) + dot(z_im, w.re)).reshape(c, b, -1)
+    out_re = y_re * d.re[:, None, :] - y_im * d.im[:, None, :]
+    out_im = y_re * d.im[:, None, :] + y_im * d.re[:, None, :]
+    return CF(out_re, out_im)
+
+
 def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
     """Fused single-matmul inverse (see channel_fused_matrix); used by
     fastddc_inv_block whenever post_input_size % post_decimation == 0.
@@ -525,6 +607,64 @@ def _fastddc_inv_fused_block(ddc: FastDDC, rates) -> Block:
         out = CF(yr.reshape(c, b * m), yi.reshape(c, b * m))
         counts = jnp.full((c,), b * m, jnp.int32)
         return ((phases + adv) % 1.0, g), VarOut(out, counts)
+
+    return Block("fastddc_inv_cc", init, apply)
+
+
+def _fastddc_inv_vmem_block(ddc: FastDDC, rates,
+                            precision: str = "HIGH") -> Block:
+    """TPU production inverse: the factored-v2 pallas kernel
+    (kernels/fastddc_pallas.py) — VPU fold + per-frame NCO + ONE shared
+    iDFT matmul + output diagonal, all in VMEM.  ~8x fewer MACs than the
+    fused dense G at D=16; same linear map (tests/test_fastddc.py).
+    Chunk shapes the kernel can't tile fall back to the XLA factored-v2
+    path (fastddc_inv_factored2_batch) with identical state.
+
+    precision: "HIGH" = manual bf16x3 shared dot (~109 dB vs the fused
+    HIGHEST matmul), "HIGHEST" = f32 Mosaic dot."""
+    from csdr_tpu.kernels import fastddc_pallas as fpk
+
+    c = len(rates)
+    m = ddc.post_input_size // ddc.post_decimation
+    tq_np, w_np, d_np, frame_cyc = channel_factored2_arrays(ddc, rates)
+    mpad = 128
+    w1_np = fpk.pack_w(w_np, precision, mpad)
+    dpad = np.zeros((c, mpad), np.complex64)
+    dpad[:, :m] = d_np
+
+    ramp_cache: dict[int, tuple] = {}
+
+    def _ramps(b: int):
+        # cache NUMPY (jnp created inside a trace leaks tracers)
+        if b not in ramp_cache:
+            r = np.mod(np.arange(b)[None, :] * frame_cyc[:, None], 1.0)
+            ramp_cache[b] = (r.astype(np.float32),
+                             np.mod(b * frame_cyc, 1.0).astype(np.float32))
+        return ramp_cache[b]
+
+    def init():
+        # arrays ride the state pytree (arguments), not the closure
+        return (jnp.zeros((c,), jnp.float32),
+                CF(jnp.asarray(tq_np.real), jnp.asarray(tq_np.imag)),
+                CF(jnp.asarray(dpad.real), jnp.asarray(dpad.imag)),
+                jnp.asarray(w1_np))
+
+    def apply(state, spectra: CF):
+        phases, tq, d, w1 = state
+        b = spectra.shape[0]
+        ramp, adv = _ramps(b)
+        rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))  # (C, b)
+        if fpk.pick_tiles(b, c) is not None:
+            y = fpk.fastddc_inv_vmem(spectra, tq, w1, d, rot, m, precision)
+        else:
+            wq = CF(jnp.asarray(w_np.real), jnp.asarray(w_np.imag))
+            dq = CF(d.re[:, :m], d.im[:, :m])
+            y0 = fastddc_inv_factored2_batch(spectra, tq, wq, dq)
+            y = CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
+                   y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+        out = CF(y.re.reshape(c, b * m), y.im.reshape(c, b * m))
+        counts = jnp.full((c,), b * m, jnp.int32)
+        return ((phases + adv) % 1.0, tq, d, w1), VarOut(out, counts)
 
     return Block("fastddc_inv_cc", init, apply)
 

@@ -123,3 +123,72 @@ def test_factored_inverse_equals_fused():
         precision=jax.lax.Precision.HIGHEST)
     yy = np.asarray(y.re) + 1j * np.asarray(y.im)
     assert np.abs(yy - zf).max() / np.abs(zf).max() < 1e-5
+
+
+def test_factored2_inverse_equals_fused():
+    """The factored-v2 inverse (VPU fold + ONE shared iDFT matmul + output
+    diagonal, ops/fastddc.fastddc_inv_factored2_batch) is the same linear
+    map as the fused dense matrix — the roll-to-diagonal identity is exact
+    for integer output times."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import fastddc as fd
+
+    ddc = fd.fastddc_init(0.05, 16)
+    rates = [0.1, -0.23, 0.37, 0.02]
+    rng = np.random.default_rng(1)
+    b = 16
+    sp = (rng.standard_normal((b, ddc.fft_size))
+          + 1j * rng.standard_normal((b, ddc.fft_size))).astype(np.complex64)
+    spectra = CF(jnp.asarray(sp.real), jnp.asarray(sp.imag))
+    cols = [fd.channel_fused_matrix(ddc, r) for r in rates]
+    g = np.concatenate([gg for gg, _ in cols], axis=1)
+    m = ddc.post_input_size // ddc.post_decimation
+    zf = (sp @ g).reshape(b, len(rates), m).transpose(1, 0, 2)
+    tq, w, d, cyc = fd.channel_factored2_arrays(ddc, rates)
+    tq_e, e, cyc_e = fd.channel_factored_arrays(ddc, rates)
+    np.testing.assert_allclose(cyc, cyc_e)
+    # the diagonal identity itself: E_c == W * d_c (columns scaled)
+    for ci in range(len(rates)):
+        np.testing.assert_allclose(e[ci], w * d[ci][None, :], rtol=2e-5,
+                                   atol=2e-6)
+    y = fd.fastddc_inv_factored2_batch(
+        spectra, CF(jnp.asarray(tq.real), jnp.asarray(tq.imag)),
+        CF(jnp.asarray(w.real), jnp.asarray(w.imag)),
+        CF(jnp.asarray(d.real), jnp.asarray(d.imag)),
+        precision=jax.lax.Precision.HIGHEST)
+    yy = np.asarray(y.re) + 1j * np.asarray(y.im)
+    assert np.abs(yy - zf).max() / np.abs(zf).max() < 1e-5
+
+
+def test_vmem_inverse_block_equals_fused_block(monkeypatch):
+    """The TPU production inverse block (factored-v2 pallas kernel,
+    interpret-mode here) matches the fused dense-matmul block on both the
+    kernel path (b multiple of 128) and the XLA fallback (ragged b),
+    including the carried NCO phase across chunks."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import fastddc as fd
+
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+    ddc = fd.fastddc_init(0.05, 16)
+    rates = [0.1, -0.23, 0.37, 0.02, -0.07, 0.31, -0.4, 0.18]
+    rng = np.random.default_rng(3)
+    fused = fd._fastddc_inv_fused_block(ddc, rates)
+    vmem = fd._fastddc_inv_vmem_block(ddc, rates, precision="HIGHEST")
+    sf, sv = fused.init(), vmem.init()
+    for b in (128, 48):          # kernel path, then XLA fallback
+        sp = (rng.standard_normal((b, ddc.fft_size))
+              + 1j * rng.standard_normal((b, ddc.fft_size))
+              ).astype(np.complex64)
+        spectra = CF(jnp.asarray(sp.real), jnp.asarray(sp.imag))
+        sf, of = fused.apply(sf, spectra)
+        sv, ov = vmem.apply(sv, spectra)
+        a = np.asarray(of.data.re) + 1j * np.asarray(of.data.im)
+        v = np.asarray(ov.data.re) + 1j * np.asarray(ov.data.im)
+        assert np.array_equal(np.asarray(of.count), np.asarray(ov.count))
+        assert np.abs(a - v).max() / np.abs(a).max() < 2e-5
+        np.testing.assert_allclose(np.asarray(sf[0]), np.asarray(sv[0]),
+                                   atol=1e-6)
