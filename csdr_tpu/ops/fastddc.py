@@ -384,6 +384,66 @@ def fastddc_inv_dynamic_block(ddc: FastDDC, n_channels: int):
     return init, step, (q, ddc.fft_size, c * m_max)
 
 
+def dynamic_channel_rows(ddc: FastDDC, shift_rate: float, mpad: int = 128):
+    """One channel's FACTORED dynamic-inverse payload (divisible post only):
+    (tq_row (pre, inv) c64, d_row (mpad,) c64, cyc f32).  A ddcd retune
+    recomputes fft + M complex values instead of the dense fused column
+    block's fft*M — ~50x smaller payload at D=16."""
+    tq, _w, d, cyc = channel_factored2_arrays(ddc, [float(shift_rate)])
+    m = ddc.post_input_size // ddc.post_decimation
+    drow = np.zeros((mpad,), np.complex64)
+    drow[:m] = d[0]
+    return tq[0], drow, np.float32(cyc[0])
+
+
+def fastddc_inv_dynamic_factored_block(ddc: FastDDC, n_channels: int,
+                                       precision: str = "HIGH"):
+    """Factored-v2 dynamic inverse (pis % post == 0): per-channel TQ/d rows
+    are ARGUMENTS of the jitted step (retunes never recompile — same
+    contract as fastddc_inv_dynamic_block) but the step runs the shared-W
+    factored form — on TPU the VMEM pallas kernel, elsewhere (or on ragged
+    chunks) the XLA factored2 path.  ~8x fewer MACs than the dense dynamic
+    matmul at D=16.
+
+    Returns (init, step): step(phases, spectra CF (B, fft), tq CF
+    (C, pre, inv), d CF (C, mpad), cyc (C,)) -> (phases', VarOut)."""
+    from csdr_tpu.kernels import fastddc_pallas as fpk
+
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    assert pis % post == 0, (pis, post)
+    c = n_channels
+    m = pis // post
+    mpad = 128
+    _tq0, w_np, _d0, _cyc0 = channel_factored2_arrays(ddc, [0.0])
+    w1_np = fpk.pack_w(w_np, precision, mpad)
+
+    def init():
+        return jnp.zeros((c,), jnp.float32)
+
+    def step(phases, spectra: CF, tq: CF, d: CF, cyc):
+        b = spectra.shape[0]
+        k = jnp.arange(b, dtype=jnp.float32)
+        ramp = (k[None, :] * cyc[:, None]) % 1.0
+        rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
+        if (jax.default_backend() == "tpu"
+                and fpk.pick_tiles(b, c) is not None):
+            y = fpk.fastddc_inv_vmem(spectra, tq, jnp.asarray(w1_np), d,
+                                     rot, m, precision)
+        else:
+            wq = CF(jnp.asarray(w_np.real.astype(np.float32)),
+                    jnp.asarray(w_np.imag.astype(np.float32)))
+            dq = CF(d.re[:, :m], d.im[:, :m])
+            y0 = fastddc_inv_factored2_batch(spectra, tq, wq, dq)
+            y = CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
+                   y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+        out = CF(y.re.reshape(c, b * m), y.im.reshape(c, b * m))
+        counts = jnp.full((c,), b * m, jnp.int32)
+        nphase = (phases + (b * cyc) % 1.0) % 1.0
+        return nphase, VarOut(out, counts)
+
+    return init, step
+
+
 def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> Block:
     """Spectra CF (B, fft_size) -> per-channel baseband VarOut.
 

@@ -80,30 +80,52 @@ class DdcdServer:
         self.dirty = True
         self.running = True
 
+        self.factored = False
         if method == "fastddc":
             self.ddc = fastddc.fastddc_init(transition_bw, decimation)
             pis, post = self.ddc.post_input_size, self.ddc.post_decimation
-            if pis % post != 0:
+            self.factored = pis % post == 0
+            if not self.factored:
                 # classed path needs q-aligned chunks
                 q = post // int(np.gcd(pis, post))
                 frames = max(q, (frames // q) * q)
             self.chunk_in = self.ddc.input_size * frames
-            init_inv, step_inv, g_shape = \
-                fastddc.fastddc_inv_dynamic_block(self.ddc, c)
-            # host-side G matrix; per-channel column blocks (fused or
-            # phase-classed layout, see dynamic_channel_cols)
-            self.fold_np = np.zeros(g_shape, np.complex64)
-            self._block_cols = g_shape[-1] // c
-            self.rate_np = np.zeros((c,), np.float32)
-
             fwd = fastddc.fastddc_fwd_block(self.ddc)
-            self.state = (fwd.init(), init_inv())
+            if self.factored:
+                # factored-v2: per-channel TQ/d rows (retune payload fft+M
+                # complex values, ~50x smaller than the dense column block);
+                # on TPU the step runs the VMEM pallas kernel
+                init_inv, step_inv = \
+                    fastddc.fastddc_inv_dynamic_factored_block(self.ddc, c)
+                pre, inv = self.ddc.pre_decimation, self.ddc.fft_inv_size
+                self.tq_np = np.zeros((c, pre, inv), np.complex64)
+                self.d_np = np.zeros((c, 128), np.complex64)
+                self.rate_np = np.zeros((c,), np.float32)
+                self.state = (fwd.init(), init_inv())
 
-            def step(state, x, f_re, f_im, rates):
-                fwd_st, inv_st = state
-                fwd_st, spectra = fwd.apply(fwd_st, x)
-                inv_st, out = step_inv(inv_st, spectra, CF(f_re, f_im), rates)
-                return (fwd_st, inv_st), out.data, out.count
+                def step(state, x, tq_re, tq_im, d_re, d_im, rates):
+                    fwd_st, inv_st = state
+                    fwd_st, spectra = fwd.apply(fwd_st, x)
+                    inv_st, out = step_inv(inv_st, spectra,
+                                           CF(tq_re, tq_im), CF(d_re, d_im),
+                                           rates)
+                    return (fwd_st, inv_st), out.data, out.count
+            else:
+                init_inv, step_inv, g_shape = \
+                    fastddc.fastddc_inv_dynamic_block(self.ddc, c)
+                # host-side G matrix; per-channel column blocks
+                # (phase-classed layout, see dynamic_channel_cols)
+                self.fold_np = np.zeros(g_shape, np.complex64)
+                self._block_cols = g_shape[-1] // c
+                self.rate_np = np.zeros((c,), np.float32)
+                self.state = (fwd.init(), init_inv())
+
+                def step(state, x, f_re, f_im, rates):
+                    fwd_st, inv_st = state
+                    fwd_st, spectra = fwd.apply(fwd_st, x)
+                    inv_st, out = step_inv(inv_st, spectra, CF(f_re, f_im),
+                                           rates)
+                    return (fwd_st, inv_st), out.data, out.count
 
             self._step = jax.jit(step)
         elif method == "td":
@@ -166,8 +188,12 @@ class DdcdServer:
         with self.lock:
             self.clients.pop(id(cl), None)
             if self.method == "fastddc":
-                w = self._block_cols
-                self.fold_np[..., cl.slot * w:(cl.slot + 1) * w] = 0.0
+                if self.factored:
+                    self.tq_np[cl.slot] = 0.0
+                    self.d_np[cl.slot] = 0.0
+                else:
+                    w = self._block_cols
+                    self.fold_np[..., cl.slot * w:(cl.slot + 1) * w] = 0.0
             self.rate_np[cl.slot] = 0.0
             self.dirty = True
         cl.stop()
@@ -175,10 +201,17 @@ class DdcdServer:
     def _set_shift_locked(self, slot: int, rate: float):
         if self.method == "fastddc":
             from csdr_tpu.ops import fastddc
-            w = self._block_cols
-            g, cyc = fastddc.dynamic_channel_cols(self.ddc, rate)
-            self.fold_np[..., slot * w:(slot + 1) * w] = g
-            self.rate_np[slot] = cyc
+            if self.factored:
+                tq_row, d_row, cyc = fastddc.dynamic_channel_rows(
+                    self.ddc, rate)
+                self.tq_np[slot] = tq_row
+                self.d_np[slot] = d_row
+                self.rate_np[slot] = cyc
+            else:
+                w = self._block_cols
+                g, cyc = fastddc.dynamic_channel_cols(self.ddc, rate)
+                self.fold_np[..., slot * w:(slot + 1) * w] = g
+                self.rate_np[slot] = cyc
         else:
             # reference convention: td method feeds `shift=` straight into
             # shift_addfast_cc (mix by +rate), so a channel centered at -rate
@@ -263,7 +296,13 @@ class DdcdServer:
         x = CF(jnp.asarray(x_np.real), jnp.asarray(x_np.imag))
         with self.lock:
             if self.dirty:
-                if self.method == "fastddc":
+                if self.method == "fastddc" and self.factored:
+                    self._dev = (jnp.asarray(self.tq_np.real),
+                                 jnp.asarray(self.tq_np.imag),
+                                 jnp.asarray(self.d_np.real),
+                                 jnp.asarray(self.d_np.imag),
+                                 jnp.asarray(self.rate_np))
+                elif self.method == "fastddc":
                     self._dev = (jnp.asarray(self.fold_np.real),
                                  jnp.asarray(self.fold_np.imag),
                                  jnp.asarray(self.rate_np))
