@@ -59,8 +59,10 @@ def bench_ref_fir_decimate(d=10, taps_len=1023, n=1 << 20, iters=5):
 
 def bench_tpu_fastddc(decimation=16, channels=64, frames=1024):
     """64-channel fastddc channelizer (BASELINE config 5), single chip:
-    wideband complex Msamples/s through fwd FFT + batched 64-channel
-    frequency-domain inverse + per-channel post NCO."""
+    wideband complex Msamples/s.  Divisible-post configs (D=16) run the
+    fully-fused channelizer block (subsequence-split DFT matmul + factored
+    vmem inverse — no standalone FFT); classed configs (D=50) run
+    fwd FFT + the phase-classed batched inverse."""
     import jax
     from csdr_tpu.core.cplx import CF
     from csdr_tpu.ops import fastddc as fd
@@ -69,20 +71,28 @@ def bench_tpu_fastddc(decimation=16, channels=64, frames=1024):
     ddc = fd.fastddc_init(0.05, decimation)
     rng = np.random.default_rng(0)
     rates = rng.uniform(-0.4, 0.4, channels)
-    fwd = fd.fastddc_fwd_block(ddc)
-    inv = fd.fastddc_inv_block(ddc, rates)
     n = frames * ddc.input_size
     x = CF(jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)),
            jax.numpy.asarray(rng.standard_normal(n).astype(np.float32)))
-    s0 = (fwd.init(), inv.init())
+    # state carries the (large) fold/G matrices: pass as the UNPERTURBED
+    # aux — as a perturbed arg the timing loop would copy the matrices
+    # every iteration (236 MB/iter at D=50)
+    if ddc.post_input_size % ddc.post_decimation == 0:
+        chan = fd.fastddc_channelizer_block(ddc, rates)
+        s0 = chan.init()
 
-    # the inverse state carries the (large) fold/G matrix: pass it as the
-    # UNPERTURBED aux — as a perturbed arg the timing loop would copy the
-    # matrices every iteration (236 MB/iter at D=50)
-    def kernel(x, s):
-        _, spectra = fwd.apply(s[0], x)
-        _, out = inv.apply(s[1], spectra)
-        return out.data
+        def kernel(x, s):
+            _, out = chan.apply(s, x)
+            return out.data
+    else:
+        fwd = fd.fastddc_fwd_block(ddc)
+        inv = fd.fastddc_inv_block(ddc, rates)
+        s0 = (fwd.init(), inv.init())
+
+        def kernel(x, s):
+            _, spectra = fwd.apply(s[0], x)
+            _, out = inv.apply(s[1], spectra)
+            return out.data
 
     per = time_kernel(kernel, x, aux=s0)
     return n / per / 1e6

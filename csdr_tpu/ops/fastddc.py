@@ -729,6 +729,117 @@ def _fastddc_inv_vmem_block(ddc: FastDDC, rates,
     return Block("fastddc_inv_cc", init, apply)
 
 
+def channelizer_arrays(ddc: FastDDC, rates):
+    """Host arrays for the FULLY-FUSED channelizer (fwd DFT + factored-v2
+    inverse with no standalone FFT).
+
+    The forward fft-point DFT splits over the pre stride-decimated
+    subsequences:  X[j*inv + m] = sum_{n2<pre} e_fft^{-n2(m+inv*j)} *
+    DFT_inv(frame[n2::pre])[m],  so the fold absorbs the twiddles:
+
+        Z[b,c,m] = sum_j TQ[c,j,m] X[j*inv+m]
+                 = sum_{n2} TQ2[c,n2,m] * Y[b,n2,m],
+        Y[b,n2,:] = frame[b, n2::pre] @ Wdft      (ONE (B*pre, inv) MXU dot)
+        TQ2[c,n2,m] = sum_j TQ[c,j,m] e_fft^{-n2(m+inv*j)}
+
+    — the channelizer becomes two MXU matmuls + a VPU fold; the radix-2
+    FFT leaves the critical path entirely.  Returns (TQ2 (C, pre, inv),
+    Wdft (inv, inv), W (inv, M), D (C, M), frame_cyc (C,)), all c64/f64,
+    feeding the same vmem kernel as channel_factored2_arrays (the split
+    array is byte-compatible with the (B, fft) spectra layout)."""
+    inv, fft, pre = ddc.fft_inv_size, ddc.fft_size, ddc.pre_decimation
+    tq, w, d, cyc = channel_factored2_arrays(ddc, rates)
+    n2 = np.arange(pre)
+    j = np.arange(pre)
+    m = np.arange(inv)
+    # (n2, j, m) twiddle, f64 host math
+    tw = np.exp(-2j * np.pi * n2[:, None, None]
+                * (m[None, None, :] + inv * j[None, :, None]) / fft)
+    tq2 = np.einsum("cjm,njm->cnm", tq.astype(np.complex128), tw)
+    n1 = np.arange(inv)
+    wdft = np.exp(-2j * np.pi * np.outer(n1, m) / inv)
+    return (tq2.astype(np.complex64), wdft.astype(np.complex64), w, d, cyc)
+
+
+def fastddc_channelizer_block(ddc: FastDDC, shift_rates,
+                              precision: str = "HIGH") -> Block:
+    """Wideband CF chunk -> per-channel baseband VarOut, fwd + inverse in
+    one block with NO standalone FFT (see channelizer_arrays): overlap
+    framing, the subsequence-split DFT as one MXU einsum, then the
+    factored-v2 vmem kernel (or its XLA fallback).  Same linear map as
+    fastddc_fwd_block + fastddc_inv_block (tests/test_fastddc.py); requires
+    post_input_size % post_decimation == 0.
+
+    precision: "HIGH" = 3-pass bf16 DFT einsum + manual-bf16x3 kernel dot;
+    "HIGHEST" = f32 throughout (golden-grade)."""
+    from csdr_tpu.kernels import fastddc_pallas as fpk
+
+    rates = list(map(float, shift_rates))
+    c = len(rates)
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    assert pis % post == 0, (pis, post)
+    m = pis // post
+    ov, ins = ddc.overlap_length, ddc.input_size
+    pre, inv, fft = ddc.pre_decimation, ddc.fft_inv_size, ddc.fft_size
+    mpad = 128
+    tq2_np, wdft_np, w_np, d_np, frame_cyc = channelizer_arrays(ddc, rates)
+    w1_np = fpk.pack_w(w_np, precision, mpad)
+    dpad = np.zeros((c, mpad), np.complex64)
+    dpad[:, :m] = d_np
+    dft_prec = getattr(jax.lax.Precision, precision)
+
+    ramp_cache: dict[int, tuple] = {}
+
+    def _ramps(b: int):
+        if b not in ramp_cache:
+            r = np.mod(np.arange(b)[None, :] * frame_cyc[:, None], 1.0)
+            ramp_cache[b] = (r.astype(np.float32),
+                             np.mod(b * frame_cyc, 1.0).astype(np.float32))
+        return ramp_cache[b]
+
+    def init():
+        return (CF.zeros((ov,)),
+                jnp.zeros((c,), jnp.float32),
+                CF(jnp.asarray(tq2_np.real), jnp.asarray(tq2_np.imag)),
+                CF(jnp.asarray(wdft_np.real), jnp.asarray(wdft_np.imag)),
+                CF(jnp.asarray(dpad.real), jnp.asarray(dpad.imag)),
+                jnp.asarray(w1_np))
+
+    def apply(state, x):
+        tail, phases, tq2, wdft, d, w1 = state
+        n = x.shape[0]
+        assert n % ins == 0, f"chunk {n} % input_size {ins} != 0"
+        b = n // ins
+        frames = overlap_frames(x, tail, ins, ov)
+        # subsequence split: x6[b, n2, n1] = frame[b, n2 + pre*n1]
+        x6r = frames.re.reshape(b, inv, pre).swapaxes(1, 2)
+        x6i = frames.im.reshape(b, inv, pre).swapaxes(1, 2)
+        ein = lambda u, v: jnp.einsum(
+            "bpn,nm->bpm", u, v, precision=dft_prec,
+            preferred_element_type=jnp.float32)
+        y2r = ein(x6r, wdft.re) - ein(x6i, wdft.im)      # (b, pre, inv)
+        y2i = ein(x6r, wdft.im) + ein(x6i, wdft.re)
+        s = CF(y2r.reshape(b, fft), y2i.reshape(b, fft))
+        ramp, adv = _ramps(b)
+        rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
+        if (jax.default_backend() == "tpu"
+                and fpk.pick_tiles(b, c) is not None):
+            y = fpk.fastddc_inv_vmem(s, tq2, w1, d, rot, m, precision)
+        else:
+            wq = CF(jnp.asarray(w_np.real.astype(np.float32)),
+                    jnp.asarray(w_np.imag.astype(np.float32)))
+            dq = CF(d.re[:, :m], d.im[:, :m])
+            y0 = fastddc_inv_factored2_batch(s, tq2, wq, dq)
+            y = CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
+                   y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+        out = CF(y.re.reshape(c, b * m), y.im.reshape(c, b * m))
+        counts = jnp.full((c,), b * m, jnp.int32)
+        nstate = (x[n - ov:], (phases + adv) % 1.0, tq2, wdft, d, w1)
+        return nstate, VarOut(out, counts)
+
+    return Block("fastddc_channelizer_cc", init, apply)
+
+
 # ---------------------------------------------------------------------------
 # phase-classed fused inverse — ANY decimation as batched matmuls
 # ---------------------------------------------------------------------------

@@ -162,6 +162,37 @@ def test_factored2_inverse_equals_fused():
     assert np.abs(yy - zf).max() / np.abs(zf).max() < 1e-5
 
 
+def test_channelizer_block_equals_fwd_plus_inverse(monkeypatch):
+    """The fully-fused channelizer (subsequence-split DFT matmul + factored
+    vmem inverse, no standalone FFT) matches fastddc_fwd_block +
+    _fastddc_inv_fused_block streamed over chunks, on both the kernel path
+    (b multiple of 128, interpret mode) and the XLA fallback."""
+    import jax.numpy as jnp
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import fastddc as fd
+
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+    ddc = fd.fastddc_init(0.05, 16)
+    rates = [0.1, -0.23, 0.37, 0.02, -0.07, 0.31, -0.4, 0.18]
+    rng = np.random.default_rng(4)
+    fwd = fd.fastddc_fwd_block(ddc)
+    inv = fd._fastddc_inv_fused_block(ddc, rates)
+    chan = fd.fastddc_channelizer_block(ddc, rates, precision="HIGHEST")
+    sf, si, sc = fwd.init(), inv.init(), chan.init()
+    for b in (128, 48):          # kernel path, then XLA fallback
+        x = (rng.standard_normal(b * ddc.input_size)
+             + 1j * rng.standard_normal(b * ddc.input_size)
+             ).astype(np.complex64)
+        xc = CF(jnp.asarray(x.real), jnp.asarray(x.imag))
+        sf, spectra = fwd.apply(sf, xc)
+        si, oref = inv.apply(si, spectra)
+        sc, oc = chan.apply(sc, xc)
+        a = np.asarray(oref.data.re) + 1j * np.asarray(oref.data.im)
+        v = np.asarray(oc.data.re) + 1j * np.asarray(oc.data.im)
+        assert np.array_equal(np.asarray(oref.count), np.asarray(oc.count))
+        assert np.abs(a - v).max() / np.abs(a).max() < 5e-5
+
+
 def test_vmem_inverse_block_equals_fused_block(monkeypatch):
     """The TPU production inverse block (factored-v2 pallas kernel,
     interpret-mode here) matches the fused dense-matmul block on both the
