@@ -444,6 +444,86 @@ def fastddc_inv_dynamic_factored_block(ddc: FastDDC, n_channels: int,
     return init, step
 
 
+def dynamic_channelizer_rows(ddc: FastDDC, shift_rate: float,
+                             mpad: int = 128):
+    """One channel's payload for the dynamic FUSED channelizer:
+    (tq2_row (pre, inv) c64 — split-DFT twiddles absorbed, d_row (mpad,)
+    c64, cyc f32).  Same size as dynamic_channel_rows."""
+    inv, fft, pre = ddc.fft_inv_size, ddc.fft_size, ddc.pre_decimation
+    tq_row, d_row, cyc = dynamic_channel_rows(ddc, shift_rate, mpad)
+    n2 = np.arange(pre)
+    j = np.arange(pre)
+    m = np.arange(inv)
+    tw = np.exp(-2j * np.pi * n2[:, None, None]
+                * (m[None, None, :] + inv * j[None, :, None]) / fft)
+    tq2_row = np.einsum("jm,njm->nm", tq_row.astype(np.complex128), tw)
+    return tq2_row.astype(np.complex64), d_row, cyc
+
+
+def fastddc_dynamic_channelizer_block(ddc: FastDDC, n_channels: int,
+                                      precision: str = "HIGH"):
+    """Dynamic (retunable) FUSED channelizer: wideband chunk in, per-channel
+    baseband out, with the subsequence-split DFT matmul replacing the fwd
+    FFT and per-channel TQ2/d rows as traced arguments (retunes never
+    recompile).  Divisible-post configs only.
+
+    Returns (init, step): step((tail, phases), x CF, tq2 CF (C, pre, inv),
+    d CF (C, mpad), cyc (C,)) -> ((tail', phases'), VarOut)."""
+    from csdr_tpu.kernels import fastddc_pallas as fpk
+
+    pis, post = ddc.post_input_size, ddc.post_decimation
+    assert pis % post == 0, (pis, post)
+    c = n_channels
+    m = pis // post
+    ov, ins = ddc.overlap_length, ddc.input_size
+    pre, inv, fft = ddc.pre_decimation, ddc.fft_inv_size, ddc.fft_size
+    mpad = 128
+    _tq0, wdft_np, w_np, _d0, _cyc0 = channelizer_arrays(ddc, [0.0])
+    w1_np = fpk.pack_w(w_np, precision, mpad)
+    dft_prec = getattr(jax.lax.Precision, precision)
+    wdft_r = wdft_np.real.astype(np.float32)
+    wdft_i = wdft_np.imag.astype(np.float32)
+
+    def init():
+        return (CF.zeros((ov,)), jnp.zeros((c,), jnp.float32))
+
+    def step(state, x: CF, tq2: CF, d: CF, cyc):
+        tail, phases = state
+        n = x.shape[0]
+        assert n % ins == 0, f"chunk {n} % input_size {ins} != 0"
+        b = n // ins
+        frames = overlap_frames(x, tail, ins, ov)
+        x6r = frames.re.reshape(b, inv, pre).swapaxes(1, 2)
+        x6i = frames.im.reshape(b, inv, pre).swapaxes(1, 2)
+        wr, wi = jnp.asarray(wdft_r), jnp.asarray(wdft_i)
+        ein = lambda u, v: jnp.einsum(
+            "bpn,nm->bpm", u, v, precision=dft_prec,
+            preferred_element_type=jnp.float32)
+        y2r = ein(x6r, wr) - ein(x6i, wi)
+        y2i = ein(x6r, wi) + ein(x6i, wr)
+        s = CF(y2r.reshape(b, fft), y2i.reshape(b, fft))
+        k = jnp.arange(b, dtype=jnp.float32)
+        ramp = (k[None, :] * cyc[:, None]) % 1.0
+        rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
+        if (jax.default_backend() == "tpu"
+                and fpk.pick_tiles(b, c) is not None):
+            y = fpk.fastddc_inv_vmem(s, tq2, jnp.asarray(w1_np), d, rot, m,
+                                     precision)
+        else:
+            wq = CF(jnp.asarray(w_np.real.astype(np.float32)),
+                    jnp.asarray(w_np.imag.astype(np.float32)))
+            dq = CF(d.re[:, :m], d.im[:, :m])
+            y0 = fastddc_inv_factored2_batch(s, tq2, wq, dq)
+            y = CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
+                   y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+        out = CF(y.re.reshape(c, b * m), y.im.reshape(c, b * m))
+        counts = jnp.full((c,), b * m, jnp.int32)
+        nphase = (phases + (b * cyc) % 1.0) % 1.0
+        return ((x[n - ov:], nphase), VarOut(out, counts))
+
+    return init, step
+
+
 def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> Block:
     """Spectra CF (B, fft_size) -> per-channel baseband VarOut.
 

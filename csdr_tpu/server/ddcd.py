@@ -92,24 +92,23 @@ class DdcdServer:
             self.chunk_in = self.ddc.input_size * frames
             fwd = fastddc.fastddc_fwd_block(self.ddc)
             if self.factored:
-                # factored-v2: per-channel TQ/d rows (retune payload fft+M
-                # complex values, ~50x smaller than the dense column block);
-                # on TPU the step runs the VMEM pallas kernel
-                init_inv, step_inv = \
-                    fastddc.fastddc_inv_dynamic_factored_block(self.ddc, c)
+                # fused dynamic channelizer: split-DFT matmul replaces the
+                # fwd FFT, per-channel TQ2/d rows ride as traced args
+                # (retune payload fft+M complex values, ~50x smaller than
+                # the dense column block); on TPU the step runs the VMEM
+                # pallas kernel
+                init_chan, step_chan = \
+                    fastddc.fastddc_dynamic_channelizer_block(self.ddc, c)
                 pre, inv = self.ddc.pre_decimation, self.ddc.fft_inv_size
                 self.tq_np = np.zeros((c, pre, inv), np.complex64)
                 self.d_np = np.zeros((c, 128), np.complex64)
                 self.rate_np = np.zeros((c,), np.float32)
-                self.state = (fwd.init(), init_inv())
+                self.state = init_chan()
 
                 def step(state, x, tq_re, tq_im, d_re, d_im, rates):
-                    fwd_st, inv_st = state
-                    fwd_st, spectra = fwd.apply(fwd_st, x)
-                    inv_st, out = step_inv(inv_st, spectra,
-                                           CF(tq_re, tq_im), CF(d_re, d_im),
-                                           rates)
-                    return (fwd_st, inv_st), out.data, out.count
+                    state, out = step_chan(state, x, CF(tq_re, tq_im),
+                                           CF(d_re, d_im), rates)
+                    return state, out.data, out.count
             else:
                 init_inv, step_inv, g_shape = \
                     fastddc.fastddc_inv_dynamic_block(self.ddc, c)
@@ -202,9 +201,9 @@ class DdcdServer:
         if self.method == "fastddc":
             from csdr_tpu.ops import fastddc
             if self.factored:
-                tq_row, d_row, cyc = fastddc.dynamic_channel_rows(
+                tq2_row, d_row, cyc = fastddc.dynamic_channelizer_rows(
                     self.ddc, rate)
-                self.tq_np[slot] = tq_row
+                self.tq_np[slot] = tq2_row
                 self.d_np[slot] = d_row
                 self.rate_np[slot] = cyc
             else:
