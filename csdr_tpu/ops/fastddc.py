@@ -22,6 +22,7 @@ TPU design:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -425,7 +426,8 @@ def fastddc_inv_dynamic_factored_block(ddc: FastDDC, n_channels: int,
         k = jnp.arange(b, dtype=jnp.float32)
         ramp = (k[None, :] * cyc[:, None]) % 1.0
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
-        if (jax.default_backend() == "tpu"
+        if ((jax.default_backend() == "tpu"
+                 or os.environ.get("CSDR_PALLAS_INTERPRET"))
                 and fpk.pick_tiles(b, c) is not None):
             y = fpk.fastddc_inv_vmem(spectra, tq, jnp.asarray(w1_np), d,
                                      rot, m, precision)
@@ -505,7 +507,8 @@ def fastddc_dynamic_channelizer_block(ddc: FastDDC, n_channels: int,
         k = jnp.arange(b, dtype=jnp.float32)
         ramp = (k[None, :] * cyc[:, None]) % 1.0
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
-        if (jax.default_backend() == "tpu"
+        if ((jax.default_backend() == "tpu"
+                 or os.environ.get("CSDR_PALLAS_INTERPRET"))
                 and fpk.pick_tiles(b, c) is not None):
             y = fpk.fastddc_inv_vmem(s, tq2, jnp.asarray(w1_np), d, rot, m,
                                      precision)
@@ -902,7 +905,8 @@ def fastddc_channelizer_block(ddc: FastDDC, shift_rates,
         s = CF(y2r.reshape(b, fft), y2i.reshape(b, fft))
         ramp, adv = _ramps(b)
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
-        if (jax.default_backend() == "tpu"
+        if ((jax.default_backend() == "tpu"
+                 or os.environ.get("CSDR_PALLAS_INTERPRET"))
                 and fpk.pick_tiles(b, c) is not None):
             y = fpk.fastddc_inv_vmem(s, tq2, w1, d, rot, m, precision)
         else:

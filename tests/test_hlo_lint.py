@@ -94,6 +94,10 @@ def test_shift_and_fastddc_clean():
 
     _assert_clean(chain50, (fwd50.init(), inv50.init()),
                   _noise_cf(50 * ddc50.input_size))
+    # fully-fused channelizer (XLA factored2 fallback path on CPU)
+    chan = fd.fastddc_channelizer_block(ddc, rates)
+    _assert_clean(lambda s, x: chan.apply(s, x)[1].data, chan.init(),
+                  _noise_cf(n))
 
 
 def test_agc_and_spectrum_clean():
