@@ -1,0 +1,323 @@
+"""VMEM-resident matmul FFT — the TPU production transform for batched
+power-of-two FFTs (reference backend: fft_fftw.c:6-45; sizes are always
+next_pow2, csdr.c:1833-1837, fastddc.c:52).
+
+The XLA Stockham path (core/fft.py) round-trips part of the array through
+HBM every one of the log2(N) stages (measured 200-300 GB/s effective I/O,
+27-40%% of this chip's read bandwidth).  This kernel reads each frame into
+VMEM ONCE and does the whole transform on-chip:
+
+- Input is the natural lane-major ``(B, N)`` frame layout.  N splits into
+  T = N/128 lane tiles; n = 128*t + l.
+- **Across-tile stages** (VPU): log2(T) radix-2 DIF butterflies on the
+  *tile* axis.  Tiles are 128-lane static slices and the stage twiddles are
+  complex *scalars* per tile pair — no reshapes, no lane shuffles, nothing
+  the Mosaic lowering can't express (the per-stage interleave that blocks a
+  direct Stockham port disappears entirely).
+- **Per-tile DFT** (MXU): after the stages, tile slot j needs an
+  independent 128-point DFT with a per-lane twiddle — folded host-side
+  into one (128, 128) matrix F_j per tile, so the hot op is a perfect
+  (2*Bt, 128) @ (128, 128) matmul per tile.
+- **Deferred digit reversal**: the result lands in *kernel bin order*
+  (lane 128*j + u holds bin k = T*u + bitrev(j)).  Instead of a lane
+  transpose, the permutation is folded into the consumer: spectral
+  matrices index permuted rows (fastddc), H masks permute host-side
+  (fftfilt), and the matching INVERSE kernel consumes kernel order
+  natively (matmul first, then the inverted butterfly network) and emits
+  natural order — so fwd->pointwise->inv pipelines never reorder at all.
+  ``kernel_perm(n)`` gives natural = kernelorder[perm] for everything else.
+
+Precision: "HIGH" runs the matmuls as a manual bf16 hi/lo 3-dot expansion
+(Mosaic has no Precision.HIGH dot; the same expansion as the FIR VMEM
+kernel, ~107 dB), "HIGHEST" as f32 6-pass dots.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from csdr_tpu.core.cplx import CF
+
+LANE = 128
+
+
+def _bitrev(i: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (i & 1)
+        i >>= 1
+    return r
+
+
+def supported(n: int, b: int) -> bool:
+    """Shapes this kernel handles: N = 128..4096 power of two, any B>0
+    (frames pad to the sublane tile)."""
+    if n < LANE or n > 4096 or (n & (n - 1)):
+        return False
+    return b > 0
+
+
+def kernel_perm(n: int) -> np.ndarray:
+    """perm with natural[k] = kernelorder[perm[k]] (numpy int32)."""
+    t = n // LANE
+    bits = int(np.log2(t))
+    perm = np.empty(n, np.int32)
+    for j in range(t):
+        r = _bitrev(j, bits)
+        for u in range(LANE):
+            perm[t * u + r] = LANE * j + u
+    return perm
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_mats(n: int, sign: int):
+    """Per-tile DFT matrices F_j (T, 128, 128) c128 host math, f32 planes.
+    F_j[l, u] = w_N^(l*r_j) * w_128^(l*u), r_j = bitrev(j)."""
+    t = n // LANE
+    bits = int(np.log2(t))
+    l = np.arange(LANE)
+    f = np.empty((t, LANE, LANE), np.complex128)
+    base = np.exp(sign * 2j * np.pi * np.outer(l, l) / LANE)
+    for j in range(t):
+        r = _bitrev(j, bits)
+        twl = np.exp(sign * 2j * np.pi * l * r / n)
+        f[j] = twl[:, None] * base
+    return np.ascontiguousarray(f.real.astype(np.float32)), \
+        np.ascontiguousarray(f.imag.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_mats(n: int, sign: int):
+    """Per-tile matrices for the inverse (input in kernel order):
+    G_j[u, l] = w_128^(-s*u*l)... with sign=+1: G_j = conj(F128) scaled by
+    conj(tw) columns; unnormalized (the 1/N stays with the caller)."""
+    t = n // LANE
+    bits = int(np.log2(t))
+    l = np.arange(LANE)
+    g = np.empty((t, LANE, LANE), np.complex128)
+    base = np.exp(sign * 2j * np.pi * np.outer(l, l) / LANE)
+    for j in range(t):
+        r = _bitrev(j, bits)
+        twl = np.exp(sign * 2j * np.pi * l * r / n)
+        g[j] = base * twl[None, :]
+    return np.ascontiguousarray(g.real.astype(np.float32)), \
+        np.ascontiguousarray(g.imag.astype(np.float32))
+
+
+def _split_bf16(a: np.ndarray):
+    import ml_dtypes
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+@functools.lru_cache(maxsize=None)
+def _mats_packed(n: int, sign: int, inverse: bool, precision: str):
+    fr, fi = (_inv_mats if inverse else _fwd_mats)(n, sign)
+    if precision == "HIGH":
+        frh, frl = _split_bf16(fr)
+        fih, fil = _split_bf16(fi)
+        # (T, 2*128, 128) stacks: rows [hi; lo]
+        return (np.concatenate([frh, frl], axis=1),
+                np.concatenate([fih, fil], axis=1))
+    return fr, fi
+
+
+def _dot_tile(ar, ai, f_re, f_im, precision: str):
+    """Complex (2Bt-stacked) x (128,128) tile product.
+    ar/ai (Bt, 128) f32; f_re/f_im (128,128) f32 or (256,128) bf16 [hi;lo].
+    Returns (yr, yi)."""
+    bt = ar.shape[0]
+    x2 = jnp.concatenate([ar, ai], axis=0)            # (2Bt, 128)
+    if precision == "HIGH":
+        dotb = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+        x2h = x2.astype(jnp.bfloat16)
+        x2l = (x2 - x2h.astype(jnp.float32)).astype(jnp.bfloat16)
+        kk = LANE
+        ydr = (dotb(x2h, f_re[:kk]) + dotb(x2h, f_re[kk:])
+               + dotb(x2l, f_re[:kk]))
+        ydi = (dotb(x2h, f_im[:kk]) + dotb(x2h, f_im[kk:])
+               + dotb(x2l, f_im[:kk]))
+    else:
+        prec = jax.lax.Precision.HIGHEST
+        ydr = jnp.dot(x2, f_re, precision=prec,
+                      preferred_element_type=jnp.float32)
+        ydi = jnp.dot(x2, f_im, precision=prec,
+                      preferred_element_type=jnp.float32)
+    # (ar + i ai) @ (F_re + i F_im)
+    yr = ydr[:bt] - ydi[bt:]
+    yi = ydi[:bt] + ydr[bt:]
+    return yr, yi
+
+
+def _stage_tw(span: int, h: int, sign: int):
+    return np.exp(sign * 2j * np.pi * np.arange(h) / span)
+
+
+def _fft_fwd_kernel(xr_ref, xi_ref, fr_ref, fi_ref, or_ref, oi_ref,
+                    *, t, sign, precision):
+    slabs = [(xr_ref[:, LANE * j: LANE * (j + 1)],
+              xi_ref[:, LANE * j: LANE * (j + 1)]) for j in range(t)]
+    # across-tile DIF (tile-axis butterflies, scalar twiddles)
+    span = t
+    while span > 1:
+        h = span // 2
+        tw = _stage_tw(span, h, sign)
+        nxt = [None] * t
+        for g in range(t // span):
+            for i in range(h):
+                (tr, ti) = slabs[g * span + i]
+                (br, bi) = slabs[g * span + i + h]
+                c = tw[i]
+                dr, di = tr - br, ti - bi
+                nxt[g * span + i] = (tr + br, ti + bi)
+                if c == 1.0 + 0.0j:
+                    nxt[g * span + i + h] = (dr, di)
+                else:
+                    cre, cim = float(c.real), float(c.imag)
+                    nxt[g * span + i + h] = (dr * cre - di * cim,
+                                             dr * cim + di * cre)
+        slabs = nxt
+        span = h
+    # per-tile DFT matmuls; write kernel-order slabs
+    for j in range(t):
+        ar, ai = slabs[j]
+        yr, yi = _dot_tile(ar, ai, fr_ref[j], fi_ref[j], precision)
+        or_ref[:, LANE * j: LANE * (j + 1)] = yr
+        oi_ref[:, LANE * j: LANE * (j + 1)] = yi
+
+
+def _fft_inv_kernel(xr_ref, xi_ref, fr_ref, fi_ref, or_ref, oi_ref,
+                    *, t, sign, precision):
+    # per-tile matmuls first (input arrives in kernel order)
+    slabs = []
+    for j in range(t):
+        ar = xr_ref[:, LANE * j: LANE * (j + 1)]
+        ai = xi_ref[:, LANE * j: LANE * (j + 1)]
+        slabs.append(_dot_tile(ar, ai, fr_ref[j], fi_ref[j], precision))
+    # inverted butterfly network: stages in reverse, conj twiddles,
+    # halving folded out (unnormalized inverse)
+    span = 2
+    while span <= t:
+        h = span // 2
+        tw = _stage_tw(span, h, sign)
+        nxt = [None] * t
+        for g in range(t // span):
+            for i in range(h):
+                (tr, ti) = slabs[g * span + i]
+                (br, bi) = slabs[g * span + i + h]
+                c = tw[i]
+                if c == 1.0 + 0.0j:
+                    btr, bti = br, bi
+                else:
+                    cre, cim = float(c.real), float(c.imag)
+                    btr = br * cre - bi * cim
+                    bti = br * cim + bi * cre
+                nxt[g * span + i] = (tr + btr, ti + bti)
+                nxt[g * span + i + h] = (tr - btr, ti - bti)
+        slabs = nxt
+        span *= 2
+    for j in range(t):
+        yr, yi = slabs[j]
+        or_ref[:, LANE * j: LANE * (j + 1)] = yr
+        oi_ref[:, LANE * j: LANE * (j + 1)] = yi
+
+
+def _pick_bt(n: int, b: int) -> int:
+    """Frames per grid step: VMEM budget ~ (in+out)*2 blocks * Bt*N*8B
+    plus the F matrices; 128 rows up to N=2048, 64 at N=4096."""
+    cap = 128 if n <= 2048 else 64
+    for bt in (cap, 64, 32, 16, 8):
+        if bt <= cap and b % bt == 0:
+            return bt
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("n", "inverse", "precision",
+                                             "bt"))
+def _fft_pallas(xr, xi, fr, fi, n: int, inverse: bool, precision: str,
+                bt: int):
+    b = xr.shape[0]
+    t = n // LANE
+    grid = b // bt
+    kern = functools.partial(
+        _fft_inv_kernel if inverse else _fft_fwd_kernel,
+        t=t, sign=(+1 if inverse else -1), precision=precision)
+    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
+    fdim = fr.shape[1]
+    yr, yi = pl.pallas_call(
+        kern,
+        interpret=interp,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, fdim, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, fdim, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * LANE * b, bytes_accessed=16 * b * n,
+            transcendentals=0),
+    )(xr, xi, fr, fi)
+    return yr, yi
+
+
+def _run(x: CF, inverse: bool, precision: str) -> CF:
+    shape = x.shape
+    n = shape[-1]
+    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    xr = x.re.reshape(b, n)
+    xi = x.im.reshape(b, n)
+    if n == LANE:
+        # single tile: plain (B,128)@(128,128) matmul, no kernel needed
+        fr, fi = (_inv_mats if inverse else _fwd_mats)(
+            n, +1 if inverse else -1)
+        prec = jax.lax.Precision.HIGHEST
+        yr = (jnp.dot(xr, jnp.asarray(fr[0]), precision=prec)
+              - jnp.dot(xi, jnp.asarray(fi[0]), precision=prec))
+        yi = (jnp.dot(xr, jnp.asarray(fi[0]), precision=prec)
+              + jnp.dot(xi, jnp.asarray(fr[0]), precision=prec))
+        return CF(yr.reshape(shape), yi.reshape(shape))
+    bt = _pick_bt(n, b)
+    pad = (-b) % bt
+    if pad:
+        xr = jnp.concatenate([xr, jnp.zeros((pad, n), xr.dtype)])
+        xi = jnp.concatenate([xi, jnp.zeros((pad, n), xi.dtype)])
+    fr, fi = _mats_packed(n, +1 if inverse else -1, inverse, precision)
+    yr, yi = _fft_pallas(xr, xi, jnp.asarray(fr), jnp.asarray(fi),
+                         n, inverse, precision, bt)
+    if pad:
+        yr, yi = yr[:b], yi[:b]
+    return CF(yr.reshape(shape), yi.reshape(shape))
+
+
+def fft_ko(x: CF, precision: str = "HIGH") -> CF:
+    """Forward DFT over the last axis, output in KERNEL bin order
+    (natural[..., k] = out[..., kernel_perm(n)[k]]).  Unnormalized,
+    FFTW sign convention — matches core.fft.fft up to the bin permutation."""
+    return _run(x, inverse=False, precision=precision)
+
+
+def ifft_ko(x: CF, precision: str = "HIGH") -> CF:
+    """Inverse DFT from KERNEL bin order input to natural time order,
+    unnormalized (like FFTW backward / core.fft.ifft)."""
+    return _run(x, inverse=True, precision=precision)
