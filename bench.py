@@ -85,8 +85,8 @@ def bench_tpu_fastddc(decimation=16, channels=64, frames=1024):
             _, out = chan.apply(s, x)
             return out.data
     else:
-        fwd = fd.fastddc_fwd_block(ddc)
-        inv = fd.fastddc_inv_block(ddc, rates)
+        fwd = fd.fastddc_fwd_block(ddc, spectra_order="kernel")
+        inv = fd.fastddc_inv_block(ddc, rates, spectra_order="kernel")
         s0 = (fwd.init(), inv.init())
 
         def kernel(x, s):

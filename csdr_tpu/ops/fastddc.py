@@ -121,12 +121,46 @@ def overlap_frames(x: CF, tail: CF, ins: int, ov: int) -> CF:
               jnp.concatenate([prev_im, blk_im], 1))
 
 
-def fastddc_fwd_block(ddc: FastDDC, frames_per_chunk: int = 32) -> Block:
+def _ko_gather_idx(n: int) -> np.ndarray:
+    """Index array g with x_ko = x_nat[g] (inverse of fft_pallas.kernel_perm,
+    for producing kernel bin order without the pallas kernel)."""
+    from csdr_tpu.kernels.fft_pallas import kernel_perm
+    perm = kernel_perm(n)
+    inv = np.empty(n, np.int32)
+    inv[perm] = np.arange(n, dtype=np.int32)
+    return inv
+
+
+def fwd_fft_frames(frames: CF, spectra_order: str) -> CF:
+    """Batched forward FFT of overlap frames in the requested bin order.
+    'kernel' order runs the VMEM matmul-FFT kernel on TPU (no reordering
+    anywhere: consumers fold the digit reversal into their spectral
+    matrices); off-TPU it falls back to Stockham + a host-order gather so
+    the contract is backend-independent."""
+    if spectra_order == "natural":
+        return cfft.fft(frames)
+    from csdr_tpu.kernels import fft_pallas as fk
+    n = frames.shape[-1]
+    if ((jax.default_backend() == "tpu"
+         or os.environ.get("CSDR_PALLAS_INTERPRET"))
+            and fk.supported(n, int(frames.shape[0]))):
+        return fk.fft_ko(frames)
+    g = jnp.asarray(_ko_gather_idx(n))
+    s = cfft.fft(frames)
+    return CF(s.re[:, g], s.im[:, g])
+
+
+def fastddc_fwd_block(ddc: FastDDC, frames_per_chunk: int = 32,
+                      spectra_order: str = "natural") -> Block:
     """Wideband CF chunk (B*input_size,) -> spectra CF (B, fft_size).
 
     Streaming overlap matches the reference exactly (csdr.c:2291-2295):
     frame b = [last overlap_length samples | input_size new], no window,
     zero history at stream start.
+
+    spectra_order 'kernel' emits the VMEM matmul-FFT kernel's bin order
+    (see kernels/fft_pallas.py) — pair with fastddc_inv_block(...,
+    spectra_order='kernel'), which folds the permutation into its matrices.
     """
     ov = ddc.overlap_length
     ins = ddc.input_size
@@ -139,7 +173,7 @@ def fastddc_fwd_block(ddc: FastDDC, frames_per_chunk: int = 32) -> Block:
         assert n % ins == 0, f"chunk {n} % input_size {ins} != 0"
         b = n // ins
         frames = overlap_frames(x, tail, ins, ov)
-        spectra = cfft.fft(frames)
+        spectra = fwd_fft_frames(frames, spectra_order)
         return x[n - ov:], spectra
 
     return Block("fastddc_fwd_cc", init, apply, rate_ratio=None)
@@ -527,7 +561,8 @@ def fastddc_dynamic_channelizer_block(ddc: FastDDC, n_channels: int,
     return init, step
 
 
-def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> Block:
+def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32,
+                      spectra_order: str = "natural") -> Block:
     """Spectra CF (B, fft_size) -> per-channel baseband VarOut.
 
     shift_rates: list of channel shifts.  NOTE all channels share the sizing
@@ -535,6 +570,11 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
     fastddc_init per rate) — exactly N reference fastddc_inv_cc processes.
     Output: VarOut(data (C, cap), counts (C,)) where cap is the per-chunk
     capacity of the decimated stream.
+
+    spectra_order 'kernel': input spectra are in the matmul-FFT kernel's
+    bin order (fastddc_fwd_block(..., spectra_order='kernel')); the digit
+    reversal is folded into the spectral matrices host-side — zero runtime
+    reordering on either side.
     """
     rates = list(map(float, shift_rates))
     chans = [fastddc_init(ddc.transition_bw, ddc.pre_decimation * ddc.post_decimation,
@@ -542,10 +582,12 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32) -> 
     for ch in chans:
         assert ch.fft_size == ddc.fft_size and ch.fft_inv_size == ddc.fft_inv_size
     if ddc.post_input_size % ddc.post_decimation == 0:
+        assert spectra_order == "natural", \
+            "divisible-post configs run the fused channelizer instead"
         if jax.default_backend() == "tpu":
             return _fastddc_inv_vmem_block(ddc, rates)
         return _fastddc_inv_fused_block(ddc, rates)
-    return _fastddc_inv_classed_block(ddc, rates)
+    return _fastddc_inv_classed_block(ddc, rates, spectra_order)
 
 
 def channel_factored_arrays(ddc: FastDDC, rates):
@@ -977,7 +1019,8 @@ def channel_class_matrices(ddc: FastDDC, shift_rate: float):
     return g, dsa
 
 
-def _fastddc_inv_classed_block(ddc: FastDDC, rates) -> Block:
+def _fastddc_inv_classed_block(ddc: FastDDC, rates,
+                               spectra_order: str = "natural") -> Block:
     """Fused inverse for non-divisible post decimation (e.g. D=20, D=50):
     frames grouped by phase class via reshape (no gather), one batched
     complex matmul per chunk, per-frame NCO scalar, matmul compaction.
@@ -992,6 +1035,13 @@ def _fastddc_inv_classed_block(ddc: FastDDC, rates) -> Block:
     cols = [channel_class_matrices(ddc, r) for r in rates]
     # layout (q, fft, C*m_max), channel-major column blocks
     g_np = np.concatenate([g for g, _ in cols], axis=2)
+    if spectra_order == "kernel":
+        # fold the matmul-FFT kernel's bin order into the spectral rows:
+        # G_ko[perm[k]] = G_nat[k]  <=>  sum_j S_ko[j] G_ko[j] unchanged
+        from csdr_tpu.kernels.fft_pallas import kernel_perm
+        g_ko = np.empty_like(g_np)
+        g_ko[:, kernel_perm(ddc.fft_size), :] = g_np
+        g_np = g_ko
     dsa = np.asarray([d for _, d in cols], np.float64)       # (C,)
     # per-frame NCO base: g0(b) = (b*pis + t0[b%q]) / post = (b//q)*ga +
     # g0_local[b%q]; cycles = frac(g0 * dsa) via exact host ramps

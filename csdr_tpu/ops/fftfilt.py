@@ -39,15 +39,35 @@ def _taps_fft(taps: np.ndarray, fft_size: int) -> np.ndarray:
     return np.fft.fft(padded).astype(np.complex64)
 
 
-def apply_fir_fft_cc_batch(x: CF, taps_fft: CF, input_size: int, carry: CF):
+def apply_fir_fft_cc_batch(x: CF, taps_fft: CF, input_size: int, carry: CF,
+                           taps_fft_ko: CF | None = None):
     """x: (B, fft_size) frames (already zero-padded);
     returns (y (B, input_size), new_carry (overlap,)).
-    Matches libcsdr.c:814-849 including the 1/fft_size normalization."""
+    Matches libcsdr.c:814-849 including the 1/fft_size normalization.
+
+    When ``taps_fft_ko`` (the taps spectrum in the VMEM kernel's bin order)
+    is given and the shape qualifies, the fwd->multiply->inv round trip runs
+    the matmul-FFT pallas pair (kernels/fft_pallas.py) — the pointwise
+    product happens in kernel bin order, so NO bin reordering ever runs."""
+    import jax
+    import os
+    from csdr_tpu.kernels import fft_pallas as fk
+
     fft_size = x.shape[-1]
     overlap = fft_size - input_size
-    xf = cfft.fft(x)
-    yf = xf * taps_fft
-    y = cfft.ifft(yf, normalize=True)             # (B, fft_size)
+    use_kernel = (taps_fft_ko is not None
+                  and (jax.default_backend() == "tpu"
+                       or os.environ.get("CSDR_PALLAS_INTERPRET"))
+                  and fk.supported(fft_size, x.shape[0]))
+    if use_kernel:
+        xf = fk.fft_ko(x)
+        yf = xf * taps_fft_ko
+        yk = fk.ifft_ko(yf)
+        y = CF(yk.re * (1.0 / fft_size), yk.im * (1.0 / fft_size))
+    else:
+        xf = cfft.fft(x)
+        yf = xf * taps_fft
+        y = cfft.ifft(yf, normalize=True)         # (B, fft_size)
     tails = y[:, input_size:]                      # (B, overlap)
     prev = cplx.concat([carry.reshape(1, -1), tails[:-1]], axis=0)
     main = y[:, :input_size]
@@ -66,6 +86,13 @@ def bandpass_fir_fft_block(low_cut: float, high_cut: float, transition_bw: float
     taps = firdes.firdes_bandpass_c(taps_length, low_cut, high_cut, window)
     tf = _taps_fft(taps, fft_size)
     taps_fft = CF(jnp.asarray(tf.real), jnp.asarray(tf.imag))
+    # taps spectrum in the matmul-FFT kernel's bin order: H_ko[perm] = H_nat
+    from csdr_tpu.kernels.fft_pallas import kernel_perm, supported
+    taps_fft_ko = None
+    if supported(fft_size, 1):
+        tko = np.empty_like(tf)
+        tko[kernel_perm(fft_size)] = tf
+        taps_fft_ko = CF(jnp.asarray(tko.real), jnp.asarray(tko.imag))
 
     def init():
         return CF.zeros((overlap,))
@@ -78,7 +105,8 @@ def bandpass_fir_fft_block(low_cut: float, high_cut: float, transition_bw: float
         z = jnp.zeros((b, fft_size - input_size), jnp.float32)
         frames = CF(jnp.concatenate([frames.re, z], axis=1),
                     jnp.concatenate([frames.im, z], axis=1))
-        y, carry = apply_fir_fft_cc_batch(frames, taps_fft, input_size, carry)
+        y, carry = apply_fir_fft_cc_batch(frames, taps_fft, input_size, carry,
+                                          taps_fft_ko=taps_fft_ko)
         return carry, y.reshape(-1)
 
     blk = Block(name, init, apply)

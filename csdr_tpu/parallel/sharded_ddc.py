@@ -64,6 +64,7 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
         fold_np = np.stack([g for g, _ in cols])              # (C, fft, M)
         cyc_np = np.asarray([fc for _, fc in cols], np.float64)  # /frame
         q, ga, g0_local, s_np, m_max = 1, pis // post, None, None, pis // post
+        spec_axis = 1
     else:
         # phase-classed fused inverse (ops/fastddc._class_plan): per-class
         # matrices stacked (C, q, fft, m_max), compaction matrix S shared
@@ -75,6 +76,15 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
         cyc_np = None
         g0_local = np.asarray([(bb * pis + t0s[bb]) // post
                                for bb in range(q)], np.float64)
+        spec_axis = 2
+    # spectra ride in the matmul-FFT kernel's bin order (the digit reversal
+    # folds into the spectral matrices; kernels/fft_pallas.py)
+    from csdr_tpu.kernels.fft_pallas import kernel_perm
+    fold_ko = np.empty_like(fold_np)
+    idx = [slice(None)] * fold_np.ndim
+    idx[spec_axis] = kernel_perm(ddc.fft_size)
+    fold_ko[tuple(idx)] = fold_np
+    fold_np = fold_ko
 
     ramp_cache: dict[int, tuple] = {}
 
@@ -104,7 +114,7 @@ def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
         assert (b * pis) % post == 0, (b, pis, post)
         halo = hx.halo_from_left(CF(x_re, x_im), ov, "time")
         frames = fd.overlap_frames(CF(x_re, x_im), halo, ins, ov)  # (B_l, fft)
-        spectra = cfft.fft(frames)
+        spectra = fd.fwd_fft_frames(frames, "kernel")
         cl = f_re.shape[0]                                # local channels
         tidx_f = jax.lax.axis_index("time").astype(jnp.float32)
         cycles = (tidx_f * c1[:, None] + ramp) % 1.0

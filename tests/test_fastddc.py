@@ -223,3 +223,40 @@ def test_vmem_inverse_block_equals_fused_block(monkeypatch):
         assert np.abs(a - v).max() / np.abs(a).max() < 2e-5
         np.testing.assert_allclose(np.asarray(sf[0]), np.asarray(sv[0]),
                                    atol=1e-6)
+
+
+def test_classed_kernel_order_equals_natural(monkeypatch):
+    """D=50 classed path with kernel-bin-order spectra (matmul-FFT pallas
+    fwd + row-permuted class matrices) streams identically to the natural
+    order path."""
+    import jax.numpy as jnp
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import fastddc as fd
+
+    ddc = fd.fastddc_init(0.05, 50)
+    rates = [0.1, -0.23, 0.31, -0.4]
+    rng = np.random.default_rng(9)
+    q = fd._class_plan(ddc)[0]
+    b = 4 * q
+    x = (rng.standard_normal(b * ddc.input_size)
+         + 1j * rng.standard_normal(b * ddc.input_size)).astype(np.complex64)
+    xc = CF(jnp.asarray(x.real), jnp.asarray(x.imag))
+
+    outs = {}
+    for mode, env in (("natural", None), ("kernel", None), ("kernel", "1")):
+        if env:
+            monkeypatch.setenv("CSDR_PALLAS_INTERPRET", env)
+        else:
+            monkeypatch.delenv("CSDR_PALLAS_INTERPRET", raising=False)
+        fwd = fd.fastddc_fwd_block(ddc, spectra_order=mode)
+        inv = fd.fastddc_inv_block(ddc, rates, spectra_order=mode)
+        sf, si = fwd.init(), inv.init()
+        sf, spectra = fwd.apply(sf, xc)
+        si, o = inv.apply(si, spectra)
+        outs[(mode, env)] = np.asarray(o.data.re) + 1j * np.asarray(o.data.im)
+    ref = outs[("natural", None)]
+    for k, v in outs.items():
+        if k == ("natural", None):
+            continue
+        err = np.abs(v - ref).max() / np.abs(ref).max()
+        assert err < 5e-5, (k, err)

@@ -53,3 +53,19 @@ def test_bandpass_is_a_linear_filter():
     ours = to_host(y)
     full = np.convolve(x, taps)[: n]
     assert_snr(full[t:], ours[t:], 85, "bandpass vs direct conv")
+
+
+def test_kernel_fft_path_matches_fallback(monkeypatch):
+    """The matmul-FFT pallas pair (kernel bin order, no reordering) must be
+    stream-equal to the Stockham fallback path."""
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+    blk = fftfilt.bandpass_fir_fft_block(-0.2, 0.2, 0.05)
+    n = 4 * blk.input_size
+    x = cplx_noise(n, seed=7)
+    st = blk.init()
+    st, y = blk.apply(st, to_dev(x))
+    kio = to_host(y)
+    monkeypatch.delenv("CSDR_PALLAS_INTERPRET")
+    st = blk.init()
+    st, y2 = blk.apply(st, to_dev(x))
+    assert_snr(to_host(y2), kio, 90, "fftfilt kernel vs fallback")
