@@ -321,3 +321,34 @@ def ifft_ko(x: CF, precision: str = "HIGH") -> CF:
     """Inverse DFT from KERNEL bin order input to natural time order,
     unnormalized (like FFTW backward / core.fft.ifft)."""
     return _run(x, inverse=True, precision=precision)
+
+
+def ko_to_natural(x: CF) -> CF:
+    """Reorder kernel-bin-order spectra to natural order WITHOUT a lane
+    gather (constant-index bulk gathers are a documented pathology on this
+    backend): natural.reshape(B, 128, T)[:, u, r] = ko tile bitrev(r) lane
+    u, so the reorder is a static tile shuffle (concat of 128-lane slices)
+    + one minor-dims transpose — both plain XLA relayouts."""
+    shape = x.shape
+    n = shape[-1]
+    t = n // LANE
+    if t <= 1:
+        return x
+    bits = int(np.log2(t))
+    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+
+    def per_plane(a):
+        a2 = a.reshape(b, t, LANE)
+        # tile r of the (u-major) view is kernel slot bitrev(r)
+        shuf = jnp.stack([a2[:, _bitrev(r, bits), :] for r in range(t)],
+                         axis=1)                     # (B, T, 128) r-major
+        return shuf.transpose(0, 2, 1).reshape(shape)  # (B, 128, T) -> flat
+
+    return CF(per_plane(x.re), per_plane(x.im))
+
+
+def fft_natural(x: CF, precision: str = "HIGH") -> CF:
+    """Forward DFT with natural-order bins: the VMEM kernel + the
+    tile-shuffle/transpose reorder.  Drop-in for core.fft.fft on
+    supported shapes."""
+    return ko_to_natural(fft_ko(x, precision))

@@ -89,9 +89,26 @@ def fft_cc_block(fft_size: int, every_n_samples: int,
             frames = CF(_frames_strided(x.re, b), _frames_strided(x.im, b))
             new_tail = tail
         frames = frames * wt
-        return new_tail, cfft.fft(frames)
+        return new_tail, _fft_batched(frames)
 
     return Block("fft_cc", init, apply)
+
+
+def _fft_batched(frames: CF) -> CF:
+    """Batched natural-order FFT: the VMEM matmul-FFT kernel on TPU for
+    supported sizes (kernels/fft_pallas.py; one HBM round trip + an XLA
+    tile-shuffle reorder), Stockham elsewhere."""
+    import os
+    import jax
+    from csdr_tpu.kernels import fft_pallas as fk
+
+    n = frames.shape[-1]
+    b = int(frames.shape[0]) if frames.re.ndim > 1 else 1
+    if ((jax.default_backend() == "tpu"
+         or os.environ.get("CSDR_PALLAS_INTERPRET"))
+            and fk.supported(n, b)):
+        return fk.fft_natural(frames)
+    return cfft.fft(frames)
 
 
 def fft_fc_block(fft_size: int, every_n_samples: int,

@@ -76,3 +76,34 @@ def test_kernel_perm_is_permutation():
     for n in (128, 256, 2048):
         p = fk.kernel_perm(n)
         assert sorted(p.tolist()) == list(range(n))
+
+
+def test_ko_to_natural_reorder(monkeypatch):
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+    for n in (256, 1024):
+        x = _rand(4, n, seed=5)
+        nat = fk.fft_natural(x, precision="HIGHEST")
+        st = cfft.fft(x)
+        assert np.allclose(np.asarray(nat.re), np.asarray(st.re),
+                           atol=2e-3 * np.sqrt(n))
+        assert np.allclose(np.asarray(nat.im), np.asarray(st.im),
+                           atol=2e-3 * np.sqrt(n))
+
+
+def test_fft_cc_block_kernel_path(monkeypatch):
+    """fft_cc through the kernel (interpret) == Stockham path, overlapped
+    and skipping modes."""
+    from csdr_tpu.ops import spectrum
+
+    for every in (192, 384):           # overlap and skip vs fft_size=256
+        blk = spectrum.fft_cc_block(256, every)
+        x = _rand(1, every * 6, seed=6)
+        flat = CF(x.re[0], x.im[0])
+        monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+        s = blk.init()
+        _, yk = blk.apply(s, flat)
+        monkeypatch.delenv("CSDR_PALLAS_INTERPRET")
+        s = blk.init()
+        _, yn = blk.apply(s, flat)
+        assert np.allclose(np.asarray(yk.re), np.asarray(yn.re), atol=1e-2)
+        assert np.allclose(np.asarray(yk.im), np.asarray(yn.im), atol=1e-2)
