@@ -322,16 +322,31 @@ def channel_arrays(ddc: FastDDC, shift_rate: float):
     return taps_row, raw_gather_perm(ch), np.float32(ch.post_shift) * ddc.post_decimation
 
 
-def dynamic_channel_cols(ddc: FastDDC, shift_rate: float):
+def dynamic_channel_cols(ddc: FastDDC, shift_rate: float,
+                         spectra_order: str = "natural"):
     """One channel's dynamic-inverse payload: (G_block, cyc) matching the
     layout fastddc_inv_dynamic_block expects — fused (fft, M) + per-frame
     cycles for divisible post decimation, else phase-classed
-    (q, fft, m_max) + per-taken-sample cycles."""
+    (q, fft, m_max) + per-taken-sample cycles.
+
+    spectra_order 'kernel': spectrum rows permuted for matmul-FFT kernel
+    bin order (pair with fastddc_fwd_block(..., spectra_order='kernel'))."""
     if ddc.post_input_size % ddc.post_decimation == 0:
         g, fc = channel_fused_matrix(ddc, shift_rate)
-        return g, np.float32(fc)
-    g, dsa = channel_class_matrices(ddc, shift_rate)
-    return g, np.float32(np.mod(dsa, 1.0))
+        ax = 0
+        cyc = np.float32(fc)
+    else:
+        g, dsa = channel_class_matrices(ddc, shift_rate)
+        ax = 1
+        cyc = np.float32(np.mod(dsa, 1.0))
+    if spectra_order == "kernel":
+        from csdr_tpu.kernels.fft_pallas import kernel_perm
+        gk = np.empty_like(g)
+        idx = [slice(None)] * g.ndim
+        idx[ax] = kernel_perm(ddc.fft_size)
+        gk[tuple(idx)] = g
+        g = gk
+    return g, cyc
 
 
 def fastddc_inv_dynamic_block(ddc: FastDDC, n_channels: int):

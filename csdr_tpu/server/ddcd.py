@@ -90,7 +90,8 @@ class DdcdServer:
                 q = post // int(np.gcd(pis, post))
                 frames = max(q, (frames // q) * q)
             self.chunk_in = self.ddc.input_size * frames
-            fwd = fastddc.fastddc_fwd_block(self.ddc)
+            fwd = fastddc.fastddc_fwd_block(self.ddc,
+                                            spectra_order="kernel")
             if self.factored:
                 # fused dynamic channelizer: split-DFT matmul replaces the
                 # fwd FFT, per-channel TQ2/d rows ride as traced args
@@ -208,7 +209,8 @@ class DdcdServer:
                 self.rate_np[slot] = cyc
             else:
                 w = self._block_cols
-                g, cyc = fastddc.dynamic_channel_cols(self.ddc, rate)
+                g, cyc = fastddc.dynamic_channel_cols(self.ddc, rate,
+                                                      spectra_order="kernel")
                 self.fold_np[..., slot * w:(slot + 1) * w] = g
                 self.rate_np[slot] = cyc
         else:
