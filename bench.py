@@ -195,6 +195,10 @@ def _probe_device(max_wait_s: float = 480.0) -> bool:
 def main():
     import os
     import jax
+    # sitecustomize preloads jax with the axon platform; honor an explicit
+    # JAX_PLATFORMS (e.g. cpu smoke runs) the same way cli.main does
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if jax.default_backend() == "tpu" and not _probe_device():
         sys.stderr.write("bench: TPU unavailable after wait; aborting\n")
         return 1
@@ -221,40 +225,8 @@ def main():
             roof["peaks"] = peaks
     except Exception as e:  # roofline is reporting, never a bench failure
         sys.stderr.write(f"roofline accounting skipped: {e}\n")
-    # secondary metrics -> stderr (driver records the single stdout line)
-    wfm_msps = bench_tpu_wfm()
-    sys.stderr.write(json.dumps({
-        "metric": "WFM advanced receiver end-to-end",
-        "value": round(wfm_msps, 1), "unit": "complex Msamples/s/chip",
-        "x_realtime_2p4Msps": round(wfm_msps / 2.4, 0),
-    }) + "\n")
-    # frames=2500 -> 100 rows per class matmul: the classed inverse is
-    # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
-    # round-1 limiter (505 -> ~1700 Msps)
-    ddc50 = bench_tpu_fastddc(decimation=50, frames=2500)
-    sys.stderr.write(json.dumps({
-        "metric": "fastddc 64-channel D=50 (phase-classed inverse)",
-        "value": round(ddc50, 1), "unit": "complex Msamples/s/chip",
-    }) + "\n")
-    if os.environ.get("CSDR_BENCH_FLAGSHIP"):
-        fl = bench_tpu_flagship()
-        sys.stderr.write(json.dumps({
-            "metric": "flagship 64ch fastddc D=50 + BPSK31 modems",
-            "value": round(fl, 1), "unit": "complex Msamples/s/chip",
-            "x_realtime_2p4Msps": round(fl / 2.4, 0),
-        }) + "\n")
-    ddc_tpu = bench_tpu_fastddc()
-    ddc_ref1 = bench_ref_fastddc()
-    # the reference serves 64 channels with 1 fwd + 64 inv processes; its
-    # wideband rate is bounded by the per-channel pipeline rate / ~64.
-    ddc_vs = (ddc_tpu / (ddc_ref1 / 64)) if ddc_ref1 else None
-    sys.stderr.write(json.dumps({
-        "metric": "fastddc 64-channel channelizer wideband throughput",
-        "value": round(ddc_tpu, 1),
-        "unit": "complex Msamples/s/chip",
-        "ref_1ch_cpu_Msps": round(ddc_ref1, 1) if ddc_ref1 else None,
-        "vs_baseline_64ch": round(ddc_vs, 1) if ddc_vs else None,
-    }) + "\n")
+    # the driver records the single stdout line: print the proven headline
+    # FIRST so a failure in any secondary metric can never lose it
     rec = {
         "metric": "fir_decimate_cc throughput (D=10, 1023 taps)",
         "value": round(tpu, 1),
@@ -264,7 +236,43 @@ def main():
     if roof:
         rec["pct_of_roofline"] = roof["pct_of_roofline"]
         rec["roofline"] = roof
-    print(json.dumps(rec))
+    print(json.dumps(rec), flush=True)
+
+    # secondary metrics -> stderr, each individually fenced
+    def secondary(name, fn, **extra):
+        try:
+            v = fn()
+            line = {"metric": name, "value": round(v, 1),
+                    "unit": "complex Msamples/s/chip"}
+            for k, f in extra.items():
+                line[k] = f(v)
+            sys.stderr.write(json.dumps(line) + "\n")
+            return v
+        except Exception as e:  # noqa: BLE001 — report, never kill the bench
+            sys.stderr.write(json.dumps({"metric": name,
+                                         "error": repr(e)}) + "\n")
+            return None
+
+    secondary("WFM advanced receiver end-to-end", bench_tpu_wfm,
+              x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
+    # frames=2500 -> 100 rows per class matmul: the classed inverse is
+    # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
+    # round-1 limiter (505 -> ~1700 Msps)
+    secondary("fastddc 64-channel D=50 (phase-classed inverse)",
+              lambda: bench_tpu_fastddc(decimation=50, frames=2500))
+    if os.environ.get("CSDR_BENCH_FLAGSHIP"):
+        secondary("flagship 64ch fastddc D=50 + BPSK31 modems",
+                  bench_tpu_flagship,
+                  x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
+    ddc_ref1 = bench_ref_fastddc()
+    # the reference serves 64 channels with 1 fwd + 64 inv processes; its
+    # wideband rate is bounded by the per-channel pipeline rate / ~64.
+    secondary("fastddc 64-channel channelizer wideband throughput",
+              bench_tpu_fastddc,
+              ref_1ch_cpu_Msps=lambda v: (round(ddc_ref1, 1)
+                                          if ddc_ref1 else None),
+              vs_baseline_64ch=lambda v: (round(v / (ddc_ref1 / 64), 1)
+                                          if ddc_ref1 else None))
 
 
 if __name__ == "__main__":
