@@ -5,12 +5,14 @@ Sizing mirrors the reference exactly: fft_size = next_pow2(taps_length),
 doubled if the zero-pad headroom is < 200; input_size = fft_size - T + 1;
 overlap = T - 1.
 
-TPU design: B frames per chunk -> ONE batched planar FFT / IFFT; the
-overlap-add tail only ever reaches the immediately following frame
-(overlap < input_size by construction), so the add is a batched shift —
-no scan, fully parallel.  The reference's double-buffered inverse plans
-(csdr.c:1855-1879) exist only to keep the previous tail alive; here that is
-simply the carried state.
+TPU design: B frames per chunk -> ONE batched planar FFT / IFFT (the VMEM
+matmul-FFT kernel pair on TPU, with the taps spectrum pre-permuted to the
+kernel's bin order so nothing reorders at runtime).  The overlap-add is
+the reference's exact accumulate-then-split semantics expressed as J+1
+shifted batched adds (J = ceil(fft/input) - 1): fully parallel, no scan,
+correct even when overlap > input_size (wide-taps plans).  The reference's
+double-buffered inverse plans (csdr.c:1855-1879) exist only to keep the
+previous tail alive; here that is simply the carried state.
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from csdr_tpu import firdes
-from csdr_tpu.core import cplx, fft as cfft
+from csdr_tpu.core import fft as cfft
 from csdr_tpu.core.block import Block
 from csdr_tpu.core.cplx import CF
 
@@ -68,12 +70,38 @@ def apply_fir_fft_cc_batch(x: CF, taps_fft: CF, input_size: int, carry: CF,
         xf = cfft.fft(x)
         yf = xf * taps_fft
         y = cfft.ifft(yf, normalize=True)         # (B, fft_size)
-    tails = y[:, input_size:]                      # (B, overlap)
-    prev = cplx.concat([carry.reshape(1, -1), tails[:-1]], axis=0)
-    main = y[:, :input_size]
-    out_re = main.re.at[:, :overlap].add(prev.re)
-    out_im = main.im.at[:, :overlap].add(prev.im)
-    return CF(out_re, out_im), tails[-1]
+    # Overlap-add in the reference's exact form: every frame's FULL
+    # fft_size result accumulates at offset b*input_size (the C adds the
+    # carry into the whole result buffer before splitting emit/tail,
+    # libcsdr.c:844-849) — so overlap may EXCEED input_size (taps in
+    # (fft/2, fft-200]: transition_bw ~ 0.013-0.016) and the tail cascades
+    # several frames ahead.  Batched: J+1 shifted adds, no scan.
+    b = x.shape[0]
+    jmax = -(-fft_size // input_size) - 1          # frames a tail can span
+    pad_cols = (jmax + 1) * input_size - fft_size
+    out_len = (b + jmax) * input_size
+
+    def acc(plane):
+        zp = jnp.concatenate(
+            [plane, jnp.zeros((b, pad_cols), plane.dtype)], axis=1)
+        out = jnp.zeros((out_len,), plane.dtype)
+        for j in range(jmax + 1):
+            seg = zp[:, j * input_size: (j + 1) * input_size].reshape(-1)
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(
+                    out, (j * input_size,), (b * input_size,)) + seg,
+                (j * input_size,))
+        return out
+
+    out_re, out_im = acc(y.re), acc(y.im)
+    out_re = out_re.at[:overlap].add(carry.re)
+    out_im = out_im.at[:overlap].add(carry.im)
+    emit = CF(out_re[: b * input_size].reshape(b, input_size),
+              out_im[: b * input_size].reshape(b, input_size))
+    new_carry = CF(
+        jax.lax.dynamic_slice(out_re, (b * input_size,), (overlap,)),
+        jax.lax.dynamic_slice(out_im, (b * input_size,), (overlap,)))
+    return emit, new_carry
 
 
 def bandpass_fir_fft_block(low_cut: float, high_cut: float, transition_bw: float,

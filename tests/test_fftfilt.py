@@ -20,10 +20,12 @@ def _numpy_reference(x, low, high, bw):
     for s in range(0, len(x) - input_size + 1, input_size):
         frame = np.concatenate([x[s:s + input_size], np.zeros(fft_size - input_size)])
         y = np.fft.ifft(np.fft.fft(frame) * tf)
-        out = y[:input_size].copy()
-        out[:overlap] += carry
+        # the C adds the carry into the FULL result buffer before the
+        # emit/tail split (libcsdr.c:844-849) — overlap may exceed
+        # input_size and the tail then cascades across several frames
+        y[:overlap] += carry
+        outs.append(y[:input_size].copy())
         carry = y[input_size:]
-        outs.append(out)
     return np.concatenate(outs)
 
 
@@ -69,3 +71,25 @@ def test_kernel_fft_path_matches_fallback(monkeypatch):
     st = blk.init()
     st, y2 = blk.apply(st, to_dev(x))
     assert_snr(to_host(y2), kio, 90, "fftfilt kernel vs fallback")
+
+
+@pytest.mark.parametrize("env", [None, "1"])
+def test_wide_taps_overlap_exceeds_input(monkeypatch, env):
+    """transition_bw ~0.014 -> taps in (fft/2, fft-200]: overlap > input
+    size and the tail cascades multiple frames — must still match direct
+    convolution (both code paths)."""
+    if env:
+        monkeypatch.setenv("CSDR_PALLAS_INTERPRET", env)
+    low, high, bw = -0.1, 0.2, 0.014
+    blk = fftfilt.bandpass_fir_fft_block(low, high, bw)
+    t = firdes.firdes_filter_len(bw)
+    assert blk.overlap > blk.input_size        # the regime under test
+    taps = firdes.firdes_bandpass_c(t, low, high).astype(np.complex128)
+    n = 6 * blk.input_size
+    x = cplx_noise(n, seed=11)
+    st = blk.init()
+    st, y1 = blk.apply(st, to_dev(x[: 3 * blk.input_size]))
+    st, y2 = blk.apply(st, to_dev(x[3 * blk.input_size:]))
+    ours = np.concatenate([to_host(y1), to_host(y2)])
+    full = np.convolve(x, taps)[: n]
+    assert_snr(full[t:], ours[t:], 85, "wide-taps bandpass vs direct conv")
