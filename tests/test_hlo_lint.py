@@ -157,3 +157,31 @@ def test_lint_flags_known_bad_pattern():
     # and x[::k] over a big array (iota gather lowering)
     flagged3 = lint_fn(lambda x: x[::4], jnp.zeros(1 << 20))
     assert any(f.kind == "large-const-gather" for f in flagged3)
+
+
+def test_fft_kernel_paths_clean(monkeypatch):
+    """The matmul-FFT kernel integrations (fft_cc natural-order reorder,
+    fftfilt kernel-order round trip, classed fastddc kernel order) must not
+    introduce gathers/strided slices: the digit reversal is tile shuffles
+    and host-side matrix permutations only."""
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+    from csdr_tpu.ops import fastddc as fd, fftfilt, spectrum
+
+    fft_blk = spectrum.fft_cc_block(1024, 1024)
+    _assert_clean(_block_fn(fft_blk), fft_blk.init(), _noise_cf(131_072))
+
+    bp = fftfilt.bandpass_fir_fft_block(-0.2, 0.2, 0.05)
+    _assert_clean(_block_fn(bp), bp.init(), _noise_cf(bp.input_size * 128))
+
+    ddc50 = fd.fastddc_init(0.05, 50)
+    rates = np.random.default_rng(0).uniform(-0.4, 0.4, 8)
+    fwd50 = fd.fastddc_fwd_block(ddc50, spectra_order="kernel")
+    inv50 = fd.fastddc_inv_block(ddc50, rates, spectra_order="kernel")
+
+    def chain50(s, x):
+        s0, spectra = fwd50.apply(s[0], x)
+        s1, out = inv50.apply(s[1], spectra)
+        return out.data
+
+    _assert_clean(chain50, (fwd50.init(), inv50.init()),
+                  _noise_cf(50 * ddc50.input_size))
