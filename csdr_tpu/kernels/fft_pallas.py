@@ -57,9 +57,12 @@ def _bitrev(i: int, bits: int) -> int:
 
 
 def supported(n: int, b: int) -> bool:
-    """Shapes this kernel handles: N = 128..4096 power of two, any B>0
-    (frames pad to the sublane tile)."""
-    if n < LANE or n > 4096 or (n & (n - 1)):
+    """Shapes this kernel handles: N = 128..16384 power of two, any B>0
+    (frames pad to the sublane tile).  N <= 2048 folds the per-tile
+    twiddles into T DFT matrices; larger N shares ONE F128 and applies the
+    twiddles as per-slab lane cmuls (the folded matrices would not fit
+    VMEM)."""
+    if n < LANE or n > 16384 or (n & (n - 1)):
         return False
     return b > 0
 
@@ -118,16 +121,39 @@ def _split_bf16(a: np.ndarray):
     return hi, lo
 
 
+def _shared(n: int) -> bool:
+    """Above 2048 the T folded (128,128) matrices outgrow VMEM; share one
+    F128 base and apply the per-tile twiddle as a lane cmul instead."""
+    return n > 2048
+
+
 @functools.lru_cache(maxsize=None)
 def _mats_packed(n: int, sign: int, inverse: bool, precision: str):
-    fr, fi = (_inv_mats if inverse else _fwd_mats)(n, sign)
+    """Returns (f_re, f_im, tw_re, tw_im).  Folded mode (tw=None): f are
+    (T, 128, 128) per-tile matrices.  Shared mode: f are the ONE (128,128)
+    base DFT matrix (leading tile axis of size 1) and tw are (T, 128) f32
+    twiddle planes (tw_j[l] = w_N^(l * bitrev(j)))."""
+    if not _shared(n):
+        fr, fi = (_inv_mats if inverse else _fwd_mats)(n, sign)
+        tw = (None, None)
+    else:
+        l = np.arange(LANE)
+        base = np.exp(sign * 2j * np.pi * np.outer(l, l) / LANE)
+        fr = base.real.astype(np.float32)[None]
+        fi = base.imag.astype(np.float32)[None]
+        t = n // LANE
+        bits = int(np.log2(t))
+        twc = np.empty((t, LANE), np.complex128)
+        for j in range(t):
+            twc[j] = np.exp(sign * 2j * np.pi * l * _bitrev(j, bits) / n)
+        tw = (twc.real.astype(np.float32), twc.imag.astype(np.float32))
     if precision == "HIGH":
         frh, frl = _split_bf16(fr)
         fih, fil = _split_bf16(fi)
-        # (T, 2*128, 128) stacks: rows [hi; lo]
-        return (np.concatenate([frh, frl], axis=1),
-                np.concatenate([fih, fil], axis=1))
-    return fr, fi
+        # (T or 1, 2*128, 128) stacks: rows [hi; lo]
+        fr = np.concatenate([frh, frl], axis=1)
+        fi = np.concatenate([fih, fil], axis=1)
+    return fr, fi, tw[0], tw[1]
 
 
 def _dot_tile(ar, ai, f_re, f_im, precision: str):
@@ -161,8 +187,20 @@ def _stage_tw(span: int, h: int, sign: int):
     return np.exp(sign * 2j * np.pi * np.arange(h) / span)
 
 
-def _fft_fwd_kernel(xr_ref, xi_ref, fr_ref, fi_ref, or_ref, oi_ref,
-                    *, t, sign, precision):
+def _tile_mats(fr_ref, fi_ref, j: int):
+    """Per-tile matrix planes: folded mode indexes tile j, shared mode
+    always uses the single base matrix."""
+    jj = j if fr_ref.shape[0] > 1 else 0
+    return fr_ref[jj], fi_ref[jj]
+
+
+def _fft_fwd_kernel(xr_ref, xi_ref, fr_ref, fi_ref, *rest,
+                    t, sign, precision, shared):
+    # pallas passes inputs then outputs: [twr, twi,] or_ref, oi_ref
+    if shared:
+        tw_refs, (or_ref, oi_ref) = rest[:2], rest[2:]
+    else:
+        tw_refs, (or_ref, oi_ref) = (), rest
     slabs = [(xr_ref[:, LANE * j: LANE * (j + 1)],
               xi_ref[:, LANE * j: LANE * (j + 1)]) for j in range(t)]
     # across-tile DIF (tile-axis butterflies, scalar twiddles)
@@ -189,19 +227,36 @@ def _fft_fwd_kernel(xr_ref, xi_ref, fr_ref, fi_ref, or_ref, oi_ref,
     # per-tile DFT matmuls; write kernel-order slabs
     for j in range(t):
         ar, ai = slabs[j]
-        yr, yi = _dot_tile(ar, ai, fr_ref[j], fi_ref[j], precision)
+        if shared:
+            twr, twi = tw_refs[0][j], tw_refs[1][j]   # (128,) lane vectors
+            ar, ai = (ar * twr[None, :] - ai * twi[None, :],
+                      ar * twi[None, :] + ai * twr[None, :])
+        fr, fi = _tile_mats(fr_ref, fi_ref, j)
+        yr, yi = _dot_tile(ar, ai, fr, fi, precision)
         or_ref[:, LANE * j: LANE * (j + 1)] = yr
         oi_ref[:, LANE * j: LANE * (j + 1)] = yi
 
 
-def _fft_inv_kernel(xr_ref, xi_ref, fr_ref, fi_ref, or_ref, oi_ref,
-                    *, t, sign, precision):
+def _fft_inv_kernel(xr_ref, xi_ref, fr_ref, fi_ref, *rest,
+                    t, sign, precision, shared):
+    if shared:
+        tw_refs, (or_ref, oi_ref) = rest[:2], rest[2:]
+    else:
+        tw_refs, (or_ref, oi_ref) = (), rest
     # per-tile matmuls first (input arrives in kernel order)
     slabs = []
     for j in range(t):
         ar = xr_ref[:, LANE * j: LANE * (j + 1)]
         ai = xi_ref[:, LANE * j: LANE * (j + 1)]
-        slabs.append(_dot_tile(ar, ai, fr_ref[j], fi_ref[j], precision))
+        fr, fi = _tile_mats(fr_ref, fi_ref, j)
+        yr, yi = _dot_tile(ar, ai, fr, fi, precision)
+        if shared:
+            # inverse per-tile matrix = base with COLUMN scaling by tw:
+            # apply after the shared-base dot
+            twr, twi = tw_refs[0][j], tw_refs[1][j]
+            yr, yi = (yr * twr[None, :] - yi * twi[None, :],
+                      yr * twi[None, :] + yi * twr[None, :])
+        slabs.append((yr, yi))
     # inverted butterfly network: stages in reverse, conj twiddles,
     # halving folded out (unnormalized inverse)
     span = 2
@@ -231,10 +286,10 @@ def _fft_inv_kernel(xr_ref, xi_ref, fr_ref, fi_ref, or_ref, oi_ref,
 
 
 def _pick_bt(n: int, b: int) -> int:
-    """Frames per grid step: VMEM budget ~ (in+out)*2 blocks * Bt*N*8B
-    plus the F matrices; 128 rows up to N=2048, 64 at N=4096."""
-    cap = 128 if n <= 2048 else 64
-    for bt in (cap, 64, 32, 16, 8):
+    """Frames per grid step: in+out blocks double-buffered are ~16*Bt*N
+    bytes of VMEM, so cap Bt*N at 512K elements (8 MB) and Bt at 128."""
+    cap = max(8, min(128, (1 << 19) // n))
+    for bt in (128, 64, 32, 16, 8):
         if bt <= cap and b % bt == 0:
             return bt
     return 8
@@ -242,28 +297,41 @@ def _pick_bt(n: int, b: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "precision",
                                              "bt"))
-def _fft_pallas(xr, xi, fr, fi, n: int, inverse: bool, precision: str,
-                bt: int):
+def _fft_pallas(xr, xi, fr, fi, twr, twi, n: int, inverse: bool,
+                precision: str, bt: int):
     b = xr.shape[0]
     t = n // LANE
     grid = b // bt
+    shared = twr is not None
     kern = functools.partial(
         _fft_inv_kernel if inverse else _fft_fwd_kernel,
-        t=t, sign=(+1 if inverse else -1), precision=precision)
+        t=t, sign=(+1 if inverse else -1), precision=precision,
+        shared=shared)
     interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
     fdim = fr.shape[1]
+    ft = fr.shape[0]                   # T folded, 1 shared
+    in_specs = [
+        pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ft, fdim, LANE), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ft, fdim, LANE), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xr, xi, fr, fi]
+    if shared:
+        in_specs += [
+            pl.BlockSpec((t, LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [twr, twi]
     yr, yi = pl.pallas_call(
         kern,
         interpret=interp,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, fdim, LANE), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, fdim, LANE), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -277,7 +345,7 @@ def _fft_pallas(xr, xi, fr, fi, n: int, inverse: bool, precision: str,
         cost_estimate=pl.CostEstimate(
             flops=8 * n * LANE * b, bytes_accessed=16 * b * n,
             transcendentals=0),
-    )(xr, xi, fr, fi)
+    )(*operands)
     return yr, yi
 
 
@@ -302,8 +370,11 @@ def _run(x: CF, inverse: bool, precision: str) -> CF:
     if pad:
         xr = jnp.concatenate([xr, jnp.zeros((pad, n), xr.dtype)])
         xi = jnp.concatenate([xi, jnp.zeros((pad, n), xi.dtype)])
-    fr, fi = _mats_packed(n, +1 if inverse else -1, inverse, precision)
+    fr, fi, twr, twi = _mats_packed(n, +1 if inverse else -1, inverse,
+                                    precision)
     yr, yi = _fft_pallas(xr, xi, jnp.asarray(fr), jnp.asarray(fi),
+                         None if twr is None else jnp.asarray(twr),
+                         None if twi is None else jnp.asarray(twi),
                          n, inverse, precision, bt)
     if pad:
         yr, yi = yr[:b], yi[:b]
