@@ -371,6 +371,122 @@ class DdcdServer:
                 cl.stop()
 
 
+    # ---- native front-end mode ------------------------------------------
+
+    def serve_native(self, front_bin: str, stdin=None,
+                     input_url: str | None = None):
+        """Serve through the native ddcd_front child process
+        (native/ddcd_front.cpp): the C++ front owns the listen socket,
+        client sockets, command parsing, and per-client drop-oldest
+        queues; this process only runs the device loop and writes framed
+        per-slot payloads — client churn and slow readers never touch the
+        GIL or the step cadence."""
+        import struct
+        import subprocess
+
+        if input_url:
+            assert input_url.startswith("tcp://"), input_url
+            host, port = input_url[6:].rsplit(":", 1)
+            insock = socket.create_connection((host, int(port)), timeout=30)
+            stdin = insock.makefile("rb")
+        stdin = stdin or sys.stdin.buffer
+        front = subprocess.Popen(
+            [front_bin, "--port", str(self.port), "--address", self.address,
+             "--slots", str(self.max_channels)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+        active: dict[int, bool] = {}          # slot -> bypass flag
+
+        def events():
+            for raw in front.stdout:
+                parts = raw.decode(errors="replace").strip().split(" ", 2)
+                if len(parts) < 2:
+                    continue
+                ev, slot = parts[0], int(parts[1])
+                if ev == "connect":
+                    with self.lock:
+                        self._set_shift_locked(slot, 0.0)
+                        active[slot] = False
+                    sys.stderr.write(f"ddcd: client -> slot {slot}\n")
+                elif ev == "close":
+                    with self.lock:
+                        active.pop(slot, None)
+                        self._zero_slot_locked(slot)
+                    sys.stderr.write(f"ddcd: slot {slot} released\n")
+                elif ev == "line" and len(parts) == 3:
+                    line = parts[2]
+                    if line.startswith("shift="):
+                        try:
+                            self.set_shift(slot, float(line[6:]))
+                            sys.stderr.write(
+                                f"ddcd: slot {slot} {line}\n")
+                        except ValueError:
+                            pass
+                    elif line.startswith("bypass="):
+                        with self.lock:
+                            if slot in active:
+                                active[slot] = line[7:].strip() == "1"
+
+        threading.Thread(target=events, daemon=True).start()
+        bytes_per = 8
+        pending = b""
+        try:
+            while True:
+                data = stdin.read(self.chunk_in * bytes_per - len(pending))
+                if not data:
+                    break
+                pending += data
+                if len(pending) < self.chunk_in * bytes_per:
+                    continue
+                x = np.frombuffer(pending, np.complex64)
+                raw = pending
+                pending = b""
+                dr, di, counts = self._run_chunk(x)
+                with self.lock:
+                    snapshot = dict(active)
+                for slot, bypass in snapshot.items():
+                    if bypass:
+                        payload = raw
+                    else:
+                        n = int(counts[slot])
+                        out = np.empty((n, 2), np.float32)
+                        out[:, 0] = dr[slot, :n]
+                        out[:, 1] = di[slot, :n]
+                        payload = out.tobytes()
+                    try:
+                        front.stdin.write(
+                            struct.pack("<II", slot, len(payload)) + payload)
+                        front.stdin.flush()
+                    except (BrokenPipeError, OSError):
+                        return
+        finally:
+            self.running = False
+            try:
+                front.stdin.close()
+            except OSError:
+                pass
+            front.wait(timeout=10)
+
+    def _zero_slot_locked(self, slot: int):
+        """Release a slot's device arrays (native-front mode)."""
+        if self.method == "fastddc":
+            if self.factored:
+                self.tq_np[slot] = 0.0
+                self.d_np[slot] = 0.0
+            else:
+                w = self._block_cols
+                self.fold_np[..., slot * w:(slot + 1) * w] = 0.0
+        self.rate_np[slot] = 0.0
+        self.dirty = True
+
+
+def default_front_bin() -> str | None:
+    import os
+    cand = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                        "build", "ddcd_front")
+    cand = os.path.abspath(cand)
+    return cand if os.path.exists(cand) else None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--port", type=int, default=4953)
@@ -384,6 +500,10 @@ def main(argv=None):
     ap.add_argument("--input", default=None,
                     help="tcp://host:port wideband input (e.g. from nmux); "
                          "default stdin")
+    ap.add_argument("--front", choices=["py", "native"], default="py",
+                    help="client-facing socket layer: 'py' serves in-process "
+                         "threads; 'native' spawns native/build/ddcd_front "
+                         "(C++), keeping client churn off the device loop")
     args = ap.parse_args(argv)
     import os
     if os.environ.get("JAX_PLATFORMS"):
@@ -393,7 +513,15 @@ def main(argv=None):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     srv = DdcdServer(args.decimation, args.bw, args.max_channels,
                      args.method, args.frames, args.port, args.address)
-    srv.serve(input_url=args.input)
+    if args.front == "native":
+        front = default_front_bin()
+        if front is None:
+            sys.stderr.write("ddcd: native front not built "
+                             "(run `make -C native`)\n")
+            return 1
+        srv.serve_native(front, input_url=args.input)
+    else:
+        srv.serve(input_url=args.input)
     return 0
 
 

@@ -483,3 +483,64 @@ def test_nmux_feeding_ddcd_over_tcp(native_build):
         nmux.terminate()
         ddcd.wait(timeout=15)
         nmux.wait(timeout=15)
+
+
+def test_ddcd_native_front(native_build):
+    """The C++ client front (native/ddcd_front.cpp): the Python device loop
+    serves through the spawned front process — connect, retune mid-stream,
+    bypass, and slot release all ride the parent pipe protocol."""
+    port = _free_port()
+    decim = 16
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port", str(port),
+         "--decimation", str(decim), "--frames", "4", "--max_channels", "4",
+         "--front", "native"],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+    try:
+        deadline = time.time() + 90
+        while True:
+            try:
+                c1 = socket.create_connection(("127.0.0.1", port), timeout=2)
+                break
+            except OSError:
+                assert time.time() < deadline
+                if proc.poll() is not None:
+                    raise AssertionError(proc.stderr.read().decode())
+                time.sleep(0.2)
+        c2 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        c1.sendall(b"shift=-0.11\n")
+        c2.sendall(b"bypass=1\n")
+        time.sleep(0.5)
+
+        x = _tone_mix(1 << 19, (0.11,), (1.0,))
+        raw = np.stack([x.real, x.imag], -1).astype(np.float32).tobytes()
+
+        def feeder():
+            try:
+                proc.stdin.write(raw)
+                proc.stdin.close()
+            except OSError:
+                pass
+
+        threading.Thread(target=feeder, daemon=True).start()
+        # c1: decimated channel with the tone at baseband
+        d1 = _recv_n(c1, 4096 * 8, timeout=120)
+        y = np.frombuffer(d1, np.float32)
+        y = (y[0::2] + 1j * y[1::2])[512:]
+        spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+        peak = np.fft.fftfreq(len(y))[np.argmax(spec)]
+        assert abs(peak) < 0.02, peak
+        assert spec.max() > 10 * np.median(spec)
+        # c2: bypass = raw wideband bytes, verbatim prefix
+        d2 = _recv_n(c2, 1 << 16, timeout=120)
+        assert d2 == raw[:len(d2)] and len(d2) == 1 << 16
+        # release c1's slot; a new client must be accepted into it
+        c1.close()
+        time.sleep(0.5)
+        c3 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        c3.close()
+        c2.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=15)
