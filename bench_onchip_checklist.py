@@ -1,0 +1,114 @@
+"""Staged on-chip validation for freshly-landed kernel paths (run after an
+axon-tunnel wedge or before the driver bench): each stage is a separate
+bounded subprocess so a kernel that wedges the worker loses only its stage,
+and the log records exactly which construct did it.
+
+Stages (in risk order — cheapest/safest first):
+  0 probe      tiny reduction (is the tunnel alive at all?)
+  1 fft-golden matmul-FFT kernel vs Stockham on-chip, N=1024..16384
+               (incl. the shared-base mode N>2048) — correctness only
+  2 fft-bench  bench_fft.py --quick (kernel vs Stockham timing)
+  3 goldens    the 36 reference-C golden tests with
+               CSDR_TPU_TEST_PLATFORM=axon
+  4 bench      bench.py (the driver metric, incl. fastddc secondaries)
+
+Usage: python bench_onchip_checklist.py [--from N] [--only N]
+Writes per-stage logs to /tmp/onchip_stage<N>.log and a summary line each.
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+
+STAGE1_BODY = r"""
+import numpy as np
+import jax
+from csdr_tpu.core.cplx import CF
+from csdr_tpu.core import fft as cfft
+from csdr_tpu.kernels import fft_pallas as fk
+
+rng = np.random.default_rng(0)
+for n, b in [(1024, 64), (2048, 32), (4096, 16), (8192, 8), (16384, 4)]:
+    if not fk.supported(n, b):
+        print(f"n={n}: unsupported, skip", flush=True)
+        continue
+    x = CF(jax.numpy.asarray(rng.standard_normal((b, n)), jax.numpy.float32),
+           jax.numpy.asarray(rng.standard_normal((b, n)), jax.numpy.float32))
+    ref = np.fft.fft(np.asarray(x.re) + 1j * np.asarray(x.im), axis=-1)
+    y = fk.fft_natural(x, "HIGH")
+    got = np.asarray(y.re) + 1j * np.asarray(y.im)
+    err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    snr = -20 * np.log10(err)
+    print(f"n={n} b={b}: {snr:.1f} dB", flush=True)
+    assert snr > 90, (n, snr)
+    # round trip through the kernel-order inverse
+    z = fk.ifft_ko(fk.fft_ko(x, "HIGH"), "HIGH")
+    rt = np.asarray(z.re) + 1j * np.asarray(z.im)
+    err2 = np.linalg.norm(rt - (np.asarray(x.re) + 1j * np.asarray(x.im))) \
+        / np.linalg.norm(ref) * n
+    print(f"   roundtrip rel err {err2:.2e}", flush=True)
+print("stage1 OK")
+"""
+
+
+def run_stage(num: int, argv: list[str], timeout_s: int,
+              body: str | None = None) -> bool:
+    log = f"/tmp/onchip_stage{num}.log"
+    t0 = time.time()
+    try:
+        with open(log, "w") as f:
+            if body is not None:
+                p = subprocess.run([sys.executable, "-"], input=body,
+                                   text=True, stdout=f, stderr=f,
+                                   timeout=timeout_s)
+            else:
+                p = subprocess.run(argv, stdout=f, stderr=f,
+                                   timeout=timeout_s)
+        ok = p.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    dt = time.time() - t0
+    tail = open(log).read().strip().splitlines()[-3:]
+    print(f"stage {num}: {'OK' if ok else 'FAIL/TIMEOUT'} ({dt:.0f}s) "
+          f"log={log}", flush=True)
+    for ln in tail:
+        print(f"   | {ln}", flush=True)
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from", dest="start", type=int, default=0)
+    ap.add_argument("--only", type=int, default=None)
+    args = ap.parse_args()
+
+    stages = [
+        (0, None, 180,
+         "import jax\nprint(float(jax.numpy.sum(jax.numpy.ones(8))))\n"
+         "print('stage0 OK')"),
+        (1, None, 1200, STAGE1_BODY),
+        (2, [sys.executable, "bench_fft.py", "--quick"], 1800, None),
+        (3, [sys.executable, "-m", "pytest", "tests/", "-q", "-k", "golden",
+             "--no-header"], 2400, None),
+        (4, [sys.executable, "bench.py"], 3600, None),
+    ]
+    env_note = ("stage 3 needs CSDR_TPU_TEST_PLATFORM=axon in the "
+                "environment; stage 0-2/4 run on the default (axon) backend")
+    print(env_note, flush=True)
+    for num, argv, to, body in stages:
+        if args.only is not None and num != args.only:
+            continue
+        if num < args.start:
+            continue
+        if not run_stage(num, argv, to, body):
+            print(f"stopping at failed stage {num} (a wedged worker needs "
+                  "10-40 min; re-run with --from {num} later)", flush=True)
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
