@@ -61,7 +61,16 @@ def supported(n: int, b: int) -> bool:
     (frames pad to the sublane tile).  N <= 2048 folds the per-tile
     twiddles into T DFT matrices; larger N shares ONE F128 and applies the
     twiddles as per-slab lane cmuls (the folded matrices would not fit
-    VMEM)."""
+    VMEM).
+
+    CSDR_FFT_KERNEL=0 disables the kernel globally: every consumer that
+    gates on supported() (fft_cc, fftfilt, the fastddc fwd/classed paths)
+    falls back coherently to the Stockham FFT + an order gather.  Set it
+    BEFORE the process builds any plan — flipping it mid-process leaves
+    already-jitted callables on their original path."""
+    import os
+    if os.environ.get("CSDR_FFT_KERNEL", "1") == "0":
+        return False
     if n < LANE or n > 16384 or (n & (n - 1)):
         return False
     return b > 0

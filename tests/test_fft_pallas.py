@@ -107,3 +107,23 @@ def test_fft_cc_block_kernel_path(monkeypatch):
         _, yn = blk.apply(s, flat)
         assert np.allclose(np.asarray(yk.re), np.asarray(yn.re), atol=1e-2)
         assert np.allclose(np.asarray(yk.im), np.asarray(yn.im), atol=1e-2)
+
+
+def test_kill_switch_disables_kernel_everywhere(monkeypatch):
+    """CSDR_FFT_KERNEL=0 must flip every supported() gate off, and the
+    consumers' fallback (Stockham + order gather) must agree with the
+    kernel path bit-for-tolerance."""
+    from csdr_tpu.ops import spectrum
+
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+    blk = spectrum.fft_cc_block(256, 256)
+    x = _rand(1, 256 * 4, seed=9)
+    flat = CF(x.re[0], x.im[0])
+    s = blk.init()
+    _, yk = blk.apply(s, flat)            # kernel path (interpret)
+    monkeypatch.setenv("CSDR_FFT_KERNEL", "0")
+    assert not fk.supported(256, 4)
+    s = blk.init()
+    _, yn = blk.apply(s, flat)            # forced fallback
+    assert np.allclose(np.asarray(yk.re), np.asarray(yn.re), atol=1e-2)
+    assert np.allclose(np.asarray(yk.im), np.asarray(yn.im), atol=1e-2)
