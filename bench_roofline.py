@@ -141,16 +141,20 @@ def variants_sweep():
     ref_i = np.asarray(jax.device_get(ref.im))
     pref = float(np.mean(ref_r**2 + ref_i**2))
     for pn in ("HIGH1", "HIGH2", "HIGH3", "HIGH4"):
-        y = fp.fir_decimate_vmem(x, taps, d, kout, pn)
-        yr = np.asarray(jax.device_get(y.re))
-        yi = np.asarray(jax.device_get(y.im))
-        perr = float(np.mean((yr - ref_r)**2 + (yi - ref_i)**2))
-        snr = 10 * np.log10(pref / perr) if perr else float("inf")
-        per = time_kernel(lambda x, pn=pn: fp.fir_decimate_vmem(
-            x, taps, d, kout, pn), x, k_pair=(512, 8192))
-        print(json.dumps({"variant": pn, "Msps": round(n / per / 1e6, 1),
-                          "snr_vs_pallas_HIGHEST_dB": round(snr, 1)}))
-        sys.stdout.flush()
+        for jb in (32, 64, 128):
+            # per-step dot M = 2*jb (4*jb stacked variants): the MXU
+            # fill/drain bubble lever called out in BENCHMARKS_R2
+            y = fp.fir_decimate_vmem(x, taps, d, kout, pn, jb=jb)
+            yr = np.asarray(jax.device_get(y.re))
+            yi = np.asarray(jax.device_get(y.im))
+            perr = float(np.mean((yr - ref_r)**2 + (yi - ref_i)**2))
+            snr = 10 * np.log10(pref / perr) if perr else float("inf")
+            per = time_kernel(lambda x, pn=pn, jb=jb: fp.fir_decimate_vmem(
+                x, taps, d, kout, pn, jb=jb), x, k_pair=(512, 8192))
+            print(json.dumps({"variant": pn, "jb": jb,
+                              "Msps": round(n / per / 1e6, 1),
+                              "snr_vs_pallas_HIGHEST_dB": round(snr, 1)}))
+            sys.stdout.flush()
 
 
 def main():

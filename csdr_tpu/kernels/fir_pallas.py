@@ -361,9 +361,14 @@ _HIGH_VARIANT = "HIGH1"
 
 
 def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
-                      precision=jax.lax.Precision.HIGHEST):
+                      precision=jax.lax.Precision.HIGHEST,
+                      jb: int | None = None):
     """VMEM-slab decimating FIR.  Caller guarantees TPU backend and
-    T <= 129*D; pads kout to a whole grid of JB*128 outputs."""
+    T <= 129*D; pads kout to a whole grid of JB*128 outputs.
+
+    jb: rows (output 128-sample tiles) per grid step — the M dim of the
+    per-step MXU dots is 2*jb (4*jb for the stacked HIGH variants).
+    Default 64; bench_roofline.py --variants sweeps it."""
     from csdr_tpu.core.cplx import CF
 
     d = decimation
@@ -372,7 +377,9 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
     # kout by up to 25% (bench_kernels' 26214-output shape: 14.9 Gsps at
     # jb=64/25% pad vs 13.9 at jb=16/1.5% pad — MXU efficiency of the
     # bigger per-step matmuls beats the padding waste)
-    jb = 64 if kout >= 64 * 128 else 8
+    if jb is None:
+        jb = 64 if kout >= 64 * 128 else 8
+    assert jb % 8 == 0 or jb == 8, jb
     kout_pad = _round_up(kout, jb * 128)
     rd = 128 * d
     # input needed: main rows (kout_pad/128) + one JB halo block, each rd
