@@ -112,6 +112,11 @@ def main(argv=None):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if jax.default_backend() != "tpu":
+        # kernel rows only lower on TPU; interpret mode keeps the rig
+        # runnable as a CPU smoke test (timings meaningless there)
+        import os
+        os.environ.setdefault("CSDR_PALLAS_INTERPRET", "1")
     row(platform=jax.default_backend())
     if args.only in (None, "transforms"):
         bench_transforms(args.quick)

@@ -46,7 +46,16 @@ def time_kernel(kernel: Callable, x, reps: int = 3,
     use it for large constant operands (filter matrices, carried state):
     the anti-hoisting eps-add would otherwise copy them every iteration,
     charging the kernel for pure measurement overhead.
+
+    CSDR_TIMING_SMOKE=1 runs the kernel exactly once and returns a dummy
+    1 s/call — for CI smoke tests of bench rigs on CPU (interpret-mode
+    pallas inside a timing loop would take minutes per row).
     """
+    import os
+    if os.environ.get("CSDR_TIMING_SMOKE"):
+        y = kernel(x, aux) if aux is not None else kernel(x)
+        float(jax.device_get(_scalarize(y)))
+        return 1.0
 
     def make(k):
         @jax.jit
