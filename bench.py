@@ -238,10 +238,18 @@ def main():
         rec["roofline"] = roof
     print(json.dumps(rec), flush=True)
 
-    # secondary metrics -> stderr, each individually fenced
-    def secondary(name, fn, **extra):
+    # secondary metrics -> stderr.  Each runs in a CHILD process with a
+    # timeout: a kernel that wedges the axon worker (known failure mode —
+    # CLAUDE.md "known wedgers") can then never hang bench.py past the
+    # already-printed headline; the wedge costs one secondary's timeout.
+    def secondary(name, key, timeout_s, **extra):
+        import subprocess
         try:
-            v = fn()
+            p = subprocess.run(
+                [sys.executable, __file__, "--run-secondary", key],
+                capture_output=True, text=True, timeout=timeout_s)
+            sys.stderr.write(p.stderr)
+            v = float(p.stdout.strip().splitlines()[-1])
             line = {"metric": name, "value": round(v, 1),
                     "unit": "complex Msamples/s/chip"}
             for k, f in extra.items():
@@ -253,27 +261,49 @@ def main():
                                          "error": repr(e)}) + "\n")
             return None
 
-    secondary("WFM advanced receiver end-to-end", bench_tpu_wfm,
+    secondary("WFM advanced receiver end-to-end", "wfm", 1200,
               x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     # frames=2500 -> 100 rows per class matmul: the classed inverse is
     # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
     # round-1 limiter (505 -> ~1700 Msps)
     secondary("fastddc 64-channel D=50 (phase-classed inverse)",
-              lambda: bench_tpu_fastddc(decimation=50, frames=2500))
+              "fastddc50", 1800)
     if os.environ.get("CSDR_BENCH_FLAGSHIP"):
+        # ~5-7 min axon compile before the first step runs
         secondary("flagship 64ch fastddc D=50 + BPSK31 modems",
-                  bench_tpu_flagship,
+                  "flagship", 3000,
                   x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     ddc_ref1 = bench_ref_fastddc()
     # the reference serves 64 channels with 1 fwd + 64 inv processes; its
     # wideband rate is bounded by the per-channel pipeline rate / ~64.
     secondary("fastddc 64-channel channelizer wideband throughput",
-              bench_tpu_fastddc,
+              "fastddc16", 1800,
               ref_1ch_cpu_Msps=lambda v: (round(ddc_ref1, 1)
                                           if ddc_ref1 else None),
               vs_baseline_64ch=lambda v: (round(v / (ddc_ref1 / 64), 1)
                                           if ddc_ref1 else None))
 
 
+_SECONDARIES = {
+    "wfm": bench_tpu_wfm,
+    "fastddc50": lambda: bench_tpu_fastddc(decimation=50, frames=2500),
+    "flagship": bench_tpu_flagship,
+    "fastddc16": bench_tpu_fastddc,
+}
+
+
+def _run_secondary(key: str) -> int:
+    """Child entry: honor JAX_PLATFORMS like main(), run one metric, print
+    the bare value on the LAST stdout line (parent parses it)."""
+    import os
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    print(_SECONDARIES[key]())
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--run-secondary":
+        sys.exit(_run_secondary(sys.argv[2]))
     sys.exit(main() or 0)
