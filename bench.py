@@ -244,12 +244,28 @@ def main():
     # already-printed headline; the wedge costs one secondary's timeout.
     def secondary(name, key, timeout_s, **extra):
         import subprocess
-        try:
+
+        def attempt(extra_env=None):
+            env = dict(os.environ, **(extra_env or {}))
             p = subprocess.run(
                 [sys.executable, __file__, "--run-secondary", key],
-                capture_output=True, text=True, timeout=timeout_s)
+                capture_output=True, text=True, timeout=timeout_s, env=env)
             sys.stderr.write(p.stderr)
-            v = float(p.stdout.strip().splitlines()[-1])
+            if p.returncode != 0:
+                raise RuntimeError(f"rc={p.returncode}")
+            return float(p.stdout.strip().splitlines()[-1])
+
+        try:
+            try:
+                v = attempt()
+            except subprocess.TimeoutExpired:
+                raise           # worker likely wedged: a retry would hang too
+            except Exception:
+                # e.g. a Mosaic compile failure on a kernel path: retry on
+                # the validated Stockham fallback rather than losing the row
+                sys.stderr.write(f"bench: {key} failed; retrying with "
+                                 "CSDR_FFT_KERNEL=0\n")
+                v = attempt({"CSDR_FFT_KERNEL": "0"})
             line = {"metric": name, "value": round(v, 1),
                     "unit": "complex Msamples/s/chip"}
             for k, f in extra.items():
