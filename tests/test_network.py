@@ -439,10 +439,12 @@ def test_nmux_slow_client_lapped_not_stalling(native_build):
         proc.wait(timeout=10)
 
 
-def test_nmux_feeding_ddcd_over_tcp(native_build):
+@pytest.mark.parametrize("front", ["py", "native"])
+def test_nmux_feeding_ddcd_over_tcp(native_build, front):
     """Composition: nmux fan-out --tcp--> ddcd --input tcp://, client
     receives its channel — the reference's multi-process topology
-    (rtl_sdr | nmux; nc | ddcd) over real sockets."""
+    (rtl_sdr | nmux; nc | ddcd) over real sockets; 'native' adds the C++
+    client front (three processes: nmux -> ddcd device loop -> ddcd_front)."""
     nmux_port, ddcd_port = _free_port(), _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     nmux = subprocess.Popen(
@@ -452,7 +454,8 @@ def test_nmux_feeding_ddcd_over_tcp(native_build):
     ddcd = subprocess.Popen(
         [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port",
          str(ddcd_port), "--decimation", "16", "--frames", "4",
-         "--max_channels", "2", "--input", f"tcp://127.0.0.1:{nmux_port}"],
+         "--max_channels", "2", "--front", front,
+         "--input", f"tcp://127.0.0.1:{nmux_port}"],
         stderr=subprocess.DEVNULL, env=env)
     try:
         deadline = time.time() + 90
