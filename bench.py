@@ -134,9 +134,9 @@ def bench_tpu_wfm(n=2_400_000):
 
 def bench_tpu_flagship(frames_target=1475):
     """BASELINE config 5 single-chip: 64-ch fastddc D=50 + 64 BPSK31
-    Gardner/DBPSK modems.  ~5-7 min axon compile, so only run when
-    CSDR_BENCH_FLAGSHIP=1 (measured 542 Msps wideband on 2026-08-17,
-    docs/BENCHMARKS_R2.md)."""
+    Gardner/DBPSK modems.  ~5-7 min axon compile; runs by default as a
+    subprocess-isolated secondary (CSDR_BENCH_FLAGSHIP=0 disables).
+    Measured 542 Msps wideband on 2026-08-17, docs/BENCHMARKS_R2.md."""
     import jax
     from jax.sharding import Mesh
     from csdr_tpu.models import multichannel
@@ -242,8 +242,15 @@ def main():
     # timeout: a kernel that wedges the axon worker (known failure mode —
     # CLAUDE.md "known wedgers") can then never hang bench.py past the
     # already-printed headline; the wedge costs one secondary's timeout.
+    wedged = [False]    # once a secondary times out AND a probe fails,
+                        # skip the rest: each would burn its full timeout
+
     def secondary(name, key, timeout_s, **extra):
         import subprocess
+        if wedged[0]:
+            sys.stderr.write(json.dumps(
+                {"metric": name, "error": "skipped: worker wedged"}) + "\n")
+            return None
 
         def attempt(extra_env=None):
             env = dict(os.environ, **(extra_env or {}))
@@ -259,7 +266,11 @@ def main():
             try:
                 v = attempt()
             except subprocess.TimeoutExpired:
-                raise           # worker likely wedged: a retry would hang too
+                # wedge or compile overrun? a tiny-op probe distinguishes
+                if (jax.default_backend() == "tpu"
+                        and not _probe_device(max_wait_s=90)):
+                    wedged[0] = True
+                raise
             except Exception:
                 # e.g. a Mosaic compile failure on a kernel path: retry on
                 # the validated Stockham fallback rather than losing the row
@@ -284,10 +295,11 @@ def main():
     # round-1 limiter (505 -> ~1700 Msps)
     secondary("fastddc 64-channel D=50 (phase-classed inverse)",
               "fastddc50", 1800)
-    if os.environ.get("CSDR_BENCH_FLAGSHIP"):
-        # ~5-7 min axon compile before the first step runs
+    if os.environ.get("CSDR_BENCH_FLAGSHIP", "1") != "0":
+        # ~5-7 min axon compile before the first step runs; subprocess
+        # isolation + the wedge probe make it safe to run by default
         secondary("flagship 64ch fastddc D=50 + BPSK31 modems",
-                  "flagship", 3000,
+                  "flagship", 1500,
                   x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     ddc_ref1 = bench_ref_fastddc()
     # the reference serves 64 channels with 1 fwd + 64 inv processes; its
@@ -298,6 +310,8 @@ def main():
                                           if ddc_ref1 else None),
               vs_baseline_64ch=lambda v: (round(v / (ddc_ref1 / 64), 1)
                                           if ddc_ref1 else None))
+    secondary("fastddc 256-channel channelizer wideband throughput",
+              "fastddc256", 1500)
 
 
 _SECONDARIES = {
@@ -305,6 +319,7 @@ _SECONDARIES = {
     "fastddc50": lambda: bench_tpu_fastddc(decimation=50, frames=2500),
     "flagship": bench_tpu_flagship,
     "fastddc16": bench_tpu_fastddc,
+    "fastddc256": lambda: bench_tpu_fastddc(channels=256, frames=512),
 }
 
 
