@@ -547,3 +547,67 @@ def test_ddcd_native_front(native_build):
     finally:
         proc.terminate()
         proc.wait(timeout=15)
+
+
+def test_ddcd_native_front_client_churn(native_build):
+    """Rapid connect/disconnect cycles against the native front while the
+    wideband stream flows: the device loop must never crash, and a client
+    arriving after the churn still gets its channel."""
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port", str(port),
+         "--decimation", "16", "--frames", "4", "--max_channels", "4",
+         "--front", "native"],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+    try:
+        deadline = time.time() + 90
+        while True:
+            try:
+                socket.create_connection(("127.0.0.1", port),
+                                         timeout=2).close()
+                break
+            except OSError:
+                assert time.time() < deadline
+                if proc.poll() is not None:
+                    raise AssertionError(proc.stderr.read().decode())
+                time.sleep(0.2)
+
+        x = _tone_mix(1 << 19, (0.11,), (1.0,))
+        raw = np.stack([x.real, x.imag], -1).astype(np.float32).tobytes()
+        stop = threading.Event()
+
+        def feeder():
+            # loop the stream so churn happens under continuous load
+            try:
+                while not stop.is_set():
+                    proc.stdin.write(raw)
+                proc.stdin.close()
+            except OSError:
+                pass
+
+        threading.Thread(target=feeder, daemon=True).start()
+        for i in range(20):
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=5)
+                c.sendall(f"shift={0.01 * (i % 7)}\n".encode())
+                if i % 3 == 0:
+                    c.recv(4096)        # some clients read a little
+                c.close()               # some vanish immediately
+            except OSError:
+                pass
+        assert proc.poll() is None, proc.stderr.read().decode()
+        # a fresh client after the churn still gets a working channel
+        c = socket.create_connection(("127.0.0.1", port), timeout=5)
+        c.sendall(b"shift=-0.11\n")
+        d = _recv_n(c, 4096 * 8, timeout=120)
+        y = np.frombuffer(d, np.float32)
+        y = (y[0::2] + 1j * y[1::2])[512:]
+        spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+        peak = np.fft.fftfreq(len(y))[np.argmax(spec)]
+        assert abs(peak) < 0.02, peak
+        c.close()
+        stop.set()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=15)
