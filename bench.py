@@ -298,8 +298,10 @@ def main():
     if os.environ.get("CSDR_BENCH_FLAGSHIP", "1") != "0":
         # ~5-7 min axon compile before the first step runs; subprocess
         # isolation + the wedge probe make it safe to run by default
+        # time_kernel compiles TWO fori-loop wrappers of the flagship graph
+        # (k_pair), each a ~5-7 min axon compile: budget generously
         secondary("flagship 64ch fastddc D=50 + BPSK31 modems",
-                  "flagship", 1500,
+                  "flagship", 2400,
                   x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     ddc_ref1 = bench_ref_fastddc()
     # the reference serves 64 channels with 1 fwd + 64 inv processes; its
