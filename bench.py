@@ -199,8 +199,21 @@ def main():
     # JAX_PLATFORMS (e.g. cpu smoke runs) the same way cli.main does
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    if jax.default_backend() == "tpu" and not _probe_device():
-        sys.stderr.write("bench: TPU unavailable after wait; aborting\n")
+    if jax.default_backend() == "tpu" and not _probe_device(1800.0):
+        # Record the outage honestly rather than leaving no line at all:
+        # the driver keeps the last stdout JSON line.  value=null marks
+        # "not measured this run"; the pointer names the last real
+        # measurement and where it is documented.
+        sys.stderr.write("bench: TPU unavailable after wait\n")
+        print(json.dumps({
+            "metric": "fir_decimate_cc throughput (D=10, 1023 taps)",
+            "value": None, "unit": "complex Msamples/s/chip",
+            "vs_baseline": None,
+            "error": "axon worker wedged for the whole probe window; "
+                     "not measured this run. Last on-chip measurement "
+                     "28352 Msps (2026-08-17, docs/BENCHMARKS_R2.md); "
+                     "re-run `python bench.py` after recovery.",
+        }), flush=True)
         return 1
     tpu, per = bench_tpu_fir_decimate()
     ref = bench_ref_fir_decimate()
