@@ -237,9 +237,11 @@ def _fft_fwd_kernel(xr_ref, xi_ref, fr_ref, fi_ref, *rest,
     for j in range(t):
         ar, ai = slabs[j]
         if shared:
-            twr, twi = tw_refs[0][j], tw_refs[1][j]   # (128,) lane vectors
-            ar, ai = (ar * twr[None, :] - ai * twi[None, :],
-                      ar * twi[None, :] + ai * twr[None, :])
+            # (1, 128) row slices: keep operands 2-D for the Mosaic
+            # broadcast (1-D lane vectors are a lowering risk)
+            twr = tw_refs[0][j: j + 1, :]
+            twi = tw_refs[1][j: j + 1, :]
+            ar, ai = (ar * twr - ai * twi, ar * twi + ai * twr)
         fr, fi = _tile_mats(fr_ref, fi_ref, j)
         yr, yi = _dot_tile(ar, ai, fr, fi, precision)
         or_ref[:, LANE * j: LANE * (j + 1)] = yr
@@ -261,10 +263,10 @@ def _fft_inv_kernel(xr_ref, xi_ref, fr_ref, fi_ref, *rest,
         yr, yi = _dot_tile(ar, ai, fr, fi, precision)
         if shared:
             # inverse per-tile matrix = base with COLUMN scaling by tw:
-            # apply after the shared-base dot
-            twr, twi = tw_refs[0][j], tw_refs[1][j]
-            yr, yi = (yr * twr[None, :] - yi * twi[None, :],
-                      yr * twi[None, :] + yi * twr[None, :])
+            # apply after the shared-base dot ((1, 128) rows, see fwd)
+            twr = tw_refs[0][j: j + 1, :]
+            twi = tw_refs[1][j: j + 1, :]
+            yr, yi = (yr * twr - yi * twi, yr * twi + yi * twr)
         slabs.append((yr, yi))
     # inverted butterfly network: stages in reverse, conj twiddles,
     # halving folded out (unnormalized inverse)
