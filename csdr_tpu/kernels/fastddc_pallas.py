@@ -158,10 +158,21 @@ def pack_w(w: np.ndarray, prec: str, mpad: int = 128):
     return wcat
 
 
-def pick_tiles(b: int, c: int):
-    """(bt, cb) grid tiles, or None when the chunk shape can't ride the
-    kernel (fall back to the XLA path).  bt=128 keeps the rot blocks
-    lane-aligned; cb=8 bounds the per-step VMEM Z slab."""
+def pick_tiles(b: int, c: int, pre: int | None = None,
+               inv: int | None = None):
+    """(bt, cb) grid tiles, or None when the chunk OR plan shape can't ride
+    the kernel (fall back to the XLA path).  bt=128 keeps the rot blocks
+    lane-aligned; cb=8 bounds the per-step VMEM Z slab.
+
+    Plan guard (pass the tq dims): the fold slices S at inv-lane boundaries
+    and the tq blocks carry sublane dim ``pre`` — Mosaic wants lane slices
+    at 128-multiples and sublane dims at 8-multiples, so plans like
+    D=4 (pre=2) or D=256 (inv=16) route to the XLA factored path instead
+    of risking an unlowerable kernel."""
+    if pre is not None and pre % 8 != 0:
+        return None
+    if inv is not None and inv % 128 != 0:
+        return None
     if b % 128 == 0:
         bt = 128
     elif b % 64 == 0 and b >= 64:

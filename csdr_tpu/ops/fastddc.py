@@ -434,13 +434,25 @@ def fastddc_inv_dynamic_block(ddc: FastDDC, n_channels: int):
     return init, step, (q, ddc.fft_size, c * m_max)
 
 
-def dynamic_channel_rows(ddc: FastDDC, shift_rate: float, mpad: int = 128):
+def mpad_for(ddc: FastDDC) -> int:
+    """Lane-padded per-frame output width of the factored/vmem inverse:
+    the kernel's d/W blocks carry m = post_input_size/post_decimation
+    values padded to a 128 multiple (m exceeds 128 at small decimations,
+    e.g. D=4 -> m=224)."""
+    m = ddc.post_input_size // ddc.post_decimation
+    return max(128, -(-m // 128) * 128)
+
+
+def dynamic_channel_rows(ddc: FastDDC, shift_rate: float,
+                         mpad: int | None = None):
     """One channel's FACTORED dynamic-inverse payload (divisible post only):
     (tq_row (pre, inv) c64, d_row (mpad,) c64, cyc f32).  A ddcd retune
     recomputes fft + M complex values instead of the dense fused column
     block's fft*M — ~50x smaller payload at D=16."""
     tq, _w, d, cyc = channel_factored2_arrays(ddc, [float(shift_rate)])
     m = ddc.post_input_size // ddc.post_decimation
+    if mpad is None:
+        mpad = mpad_for(ddc)
     drow = np.zeros((mpad,), np.complex64)
     drow[:m] = d[0]
     return tq[0], drow, np.float32(cyc[0])
@@ -463,7 +475,7 @@ def fastddc_inv_dynamic_factored_block(ddc: FastDDC, n_channels: int,
     assert pis % post == 0, (pis, post)
     c = n_channels
     m = pis // post
-    mpad = 128
+    mpad = mpad_for(ddc)
     _tq0, w_np, _d0, _cyc0 = channel_factored2_arrays(ddc, [0.0])
     w1_np = fpk.pack_w(w_np, precision, mpad)
 
@@ -477,7 +489,8 @@ def fastddc_inv_dynamic_factored_block(ddc: FastDDC, n_channels: int,
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
         if ((jax.default_backend() == "tpu"
                  or os.environ.get("CSDR_PALLAS_INTERPRET"))
-                and fpk.pick_tiles(b, c) is not None):
+                and fpk.pick_tiles(b, c, tq.re.shape[1], tq.re.shape[2])
+                    is not None):
             y = fpk.fastddc_inv_vmem(spectra, tq, jnp.asarray(w1_np), d,
                                      rot, m, precision)
         else:
@@ -496,7 +509,7 @@ def fastddc_inv_dynamic_factored_block(ddc: FastDDC, n_channels: int,
 
 
 def dynamic_channelizer_rows(ddc: FastDDC, shift_rate: float,
-                             mpad: int = 128):
+                             mpad: int | None = None):
     """One channel's payload for the dynamic FUSED channelizer:
     (tq2_row (pre, inv) c64 — split-DFT twiddles absorbed, d_row (mpad,)
     c64, cyc f32).  Same size as dynamic_channel_rows."""
@@ -528,7 +541,7 @@ def fastddc_dynamic_channelizer_block(ddc: FastDDC, n_channels: int,
     m = pis // post
     ov, ins = ddc.overlap_length, ddc.input_size
     pre, inv, fft = ddc.pre_decimation, ddc.fft_inv_size, ddc.fft_size
-    mpad = 128
+    mpad = mpad_for(ddc)
     _tq0, wdft_np, w_np, _d0, _cyc0 = channelizer_arrays(ddc, [0.0])
     w1_np = fpk.pack_w(w_np, precision, mpad)
     dft_prec = getattr(jax.lax.Precision, precision)
@@ -558,7 +571,8 @@ def fastddc_dynamic_channelizer_block(ddc: FastDDC, n_channels: int,
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
         if ((jax.default_backend() == "tpu"
                  or os.environ.get("CSDR_PALLAS_INTERPRET"))
-                and fpk.pick_tiles(b, c) is not None):
+                and fpk.pick_tiles(b, c, tq2.re.shape[1], tq2.re.shape[2])
+                    is not None):
             y = fpk.fastddc_inv_vmem(s, tq2, jnp.asarray(w1_np), d, rot, m,
                                      precision)
         else:
@@ -827,7 +841,7 @@ def _fastddc_inv_vmem_block(ddc: FastDDC, rates,
     c = len(rates)
     m = ddc.post_input_size // ddc.post_decimation
     tq_np, w_np, d_np, frame_cyc = channel_factored2_arrays(ddc, rates)
-    mpad = 128
+    mpad = mpad_for(ddc)
     w1_np = fpk.pack_w(w_np, precision, mpad)
     dpad = np.zeros((c, mpad), np.complex64)
     dpad[:, :m] = d_np
@@ -854,7 +868,7 @@ def _fastddc_inv_vmem_block(ddc: FastDDC, rates,
         b = spectra.shape[0]
         ramp, adv = _ramps(b)
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))  # (C, b)
-        if fpk.pick_tiles(b, c) is not None:
+        if fpk.pick_tiles(b, c, tq.re.shape[1], tq.re.shape[2]) is not None:
             y = fpk.fastddc_inv_vmem(spectra, tq, w1, d, rot, m, precision)
         else:
             wq = CF(jnp.asarray(w_np.real), jnp.asarray(w_np.imag))
@@ -921,7 +935,7 @@ def fastddc_channelizer_block(ddc: FastDDC, shift_rates,
     m = pis // post
     ov, ins = ddc.overlap_length, ddc.input_size
     pre, inv, fft = ddc.pre_decimation, ddc.fft_inv_size, ddc.fft_size
-    mpad = 128
+    mpad = mpad_for(ddc)
     tq2_np, wdft_np, w_np, d_np, frame_cyc = channelizer_arrays(ddc, rates)
     w1_np = fpk.pack_w(w_np, precision, mpad)
     dpad = np.zeros((c, mpad), np.complex64)
@@ -964,7 +978,8 @@ def fastddc_channelizer_block(ddc: FastDDC, shift_rates,
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
         if ((jax.default_backend() == "tpu"
                  or os.environ.get("CSDR_PALLAS_INTERPRET"))
-                and fpk.pick_tiles(b, c) is not None):
+                and fpk.pick_tiles(b, c, tq2.re.shape[1], tq2.re.shape[2])
+                    is not None):
             y = fpk.fastddc_inv_vmem(s, tq2, w1, d, rot, m, precision)
         else:
             wq = CF(jnp.asarray(w_np.real.astype(np.float32)),

@@ -102,7 +102,8 @@ class DdcdServer:
                     fastddc.fastddc_dynamic_channelizer_block(self.ddc, c)
                 pre, inv = self.ddc.pre_decimation, self.ddc.fft_inv_size
                 self.tq_np = np.zeros((c, pre, inv), np.complex64)
-                self.d_np = np.zeros((c, 128), np.complex64)
+                self.d_np = np.zeros((c, fastddc.mpad_for(self.ddc)),
+                                     np.complex64)
                 self.rate_np = np.zeros((c,), np.float32)
                 self.state = init_chan()
 

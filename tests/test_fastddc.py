@@ -260,3 +260,44 @@ def test_classed_kernel_order_equals_natural(monkeypatch):
             continue
         err = np.abs(v - ref).max() / np.abs(ref).max()
         assert err < 5e-5, (k, err)
+
+
+def test_channelizer_small_decimation_wide_m():
+    """D=4 has m = pis/post = 224 > 128 (pack_w used to overflow its
+    hardcoded 128-lane pad) and pre=2 (sublane-unsafe for the vmem kernel
+    -> plan gate must route to the XLA factored path).  The fused
+    channelizer must build and match the dense fused matrix."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.ops import fastddc as fd
+    from csdr_tpu.kernels import fastddc_pallas as fpk
+
+    ddc = fd.fastddc_init(0.05, 4)
+    m = ddc.post_input_size // ddc.post_decimation
+    assert m > 128 and fd.mpad_for(ddc) == 256
+    assert fpk.pick_tiles(128, 4, ddc.pre_decimation,
+                          ddc.fft_inv_size) is None   # pre=2 rejected
+    rates = [0.11, -0.2]
+    rng = np.random.default_rng(3)
+    n = 8 * ddc.input_size
+    x = CF(jnp.asarray(rng.standard_normal(n).astype(np.float32)),
+           jnp.asarray(rng.standard_normal(n).astype(np.float32)))
+    chan = fd.fastddc_channelizer_block(ddc, rates)
+    _, out = chan.apply(chan.init(), x)
+    # dense-fused reference: fwd spectra @ per-channel fused matrix
+    fwd = fd.fastddc_fwd_block(ddc, spectra_order="natural")
+    _, spectra = fwd.apply(fwd.init(), x)
+    sp = np.asarray(spectra.re) + 1j * np.asarray(spectra.im)
+    for ci, r in enumerate(rates):
+        g, cyc = fd.channel_fused_matrix(ddc, r)
+        b = sp.shape[0]
+        z = (sp @ g).reshape(b, m)
+        # per-frame NCO ramp the channelizer applies on top
+        k = np.arange(b)
+        rot = np.exp(2j * np.pi * ((k * cyc) % 1.0))
+        z = (z * rot[:, None]).reshape(-1)
+        got = (np.asarray(out.data.re)[ci]
+               + 1j * np.asarray(out.data.im)[ci])[: z.size]
+        err = np.linalg.norm(got - z) / np.linalg.norm(z)
+        assert err < 1e-4, (ci, err)
