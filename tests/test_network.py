@@ -222,16 +222,18 @@ def test_ddcd_two_clients(method):
         proc.wait(timeout=15)
 
 
-def test_ddcd_live_retune():
+@pytest.mark.parametrize("front", ["py", "native"])
+def test_ddcd_live_retune(front, native_build):
     """Mid-stream `shift=` retune must move the channel (the traced-args
-    fold-matrix update path — no recompile)."""
+    fold-matrix update path — no recompile); 'native' routes the command
+    through the C++ front's pipe protocol."""
     port = _free_port()
     decim = 16
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.Popen(
         [sys.executable, "-m", "csdr_tpu.server.ddcd", "--port", str(port),
          "--decimation", str(decim), "--method", "fastddc", "--frames", "4",
-         "--max_channels", "2"],
+         "--max_channels", "2", "--front", front],
         stdin=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
     try:
         deadline = time.time() + 60
