@@ -613,3 +613,26 @@ def test_ddcd_native_front_client_churn(native_build):
     finally:
         proc.terminate()
         proc.wait(timeout=15)
+
+
+def test_ddcd_server_small_decimation_inprocess():
+    """DdcdServer at D=4: the dynamic channelizer's retune payload is
+    mpad_for-sized (m=224 > 128); claim, retune, run a chunk, release —
+    no sockets, straight through the device-step plumbing."""
+    from csdr_tpu.ops import fastddc as fd
+    from csdr_tpu.server.ddcd import DdcdServer
+
+    srv = DdcdServer(4, 0.05, max_channels=2, method="fastddc", frames=8)
+    assert srv.factored
+    assert srv.d_np.shape[1] == fd.mpad_for(srv.ddc) == 256
+    srv.set_shift(0, -0.11)
+    n = srv.chunk_in
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * 0.11 * t).astype(np.complex64)
+    dr, di, counts = srv._run_chunk(x)
+    k = int(counts[0])
+    assert k > 256
+    y = (dr[0, :k] + 1j * di[0, :k])[64:]
+    spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+    peak = np.fft.fftfreq(len(y))[np.argmax(spec)]
+    assert abs(peak) < 0.02, peak
