@@ -56,17 +56,22 @@ print("stage1 OK")
 
 def run_stage(num: int, argv: list[str], timeout_s: int,
               body: str | None = None) -> bool:
+    import os
     log = f"/tmp/onchip_stage{num}.log"
+    env = dict(os.environ)
+    if num == 3:
+        # the golden suite's conftest pins JAX_PLATFORMS from this var
+        env["CSDR_TPU_TEST_PLATFORM"] = "axon"
     t0 = time.time()
     try:
         with open(log, "w") as f:
             if body is not None:
                 p = subprocess.run([sys.executable, "-"], input=body,
                                    text=True, stdout=f, stderr=f,
-                                   timeout=timeout_s)
+                                   timeout=timeout_s, env=env)
             else:
                 p = subprocess.run(argv, stdout=f, stderr=f,
-                                   timeout=timeout_s)
+                                   timeout=timeout_s, env=env)
         ok = p.returncode == 0
     except subprocess.TimeoutExpired:
         ok = False
