@@ -298,12 +298,21 @@ def _fft_inv_kernel(xr_ref, xi_ref, fr_ref, fi_ref, *rest,
 
 def _pick_bt(n: int, b: int) -> int:
     """Frames per grid step: in+out blocks double-buffered are ~16*Bt*N
-    bytes of VMEM, so cap Bt*N at 512K elements (8 MB) and Bt at 128."""
+    bytes of VMEM, so cap Bt*N at 512K elements (8 MB) and Bt at 128.
+
+    Prefer an exact divisor; otherwise take the largest power-of-two tile
+    that doesn't exceed the batch and PAD b up to it (the caller already
+    pads): a ragged batch like b=2500 then runs bt=128 with 2.4%% padding
+    instead of bt=8 — per-step dots of M=2*bt rows, and M=16 dots waste
+    the MXU (the skinny-M pathology of CLAUDE.md)."""
     cap = max(8, min(128, (1 << 19) // n))
     for bt in (128, 64, 32, 16, 8):
         if bt <= cap and b % bt == 0:
             return bt
-    return 8
+    bt = 8
+    while bt * 2 <= min(cap, b):
+        bt *= 2
+    return bt
 
 
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "precision",
