@@ -140,7 +140,7 @@ def variants_sweep():
     ref_r = np.asarray(jax.device_get(ref.re))
     ref_i = np.asarray(jax.device_get(ref.im))
     pref = float(np.mean(ref_r**2 + ref_i**2))
-    for pn in ("HIGH1", "HIGH2", "HIGH3", "HIGH4"):
+    for pn in ("HIGH1", "HIGH2", "HIGH3", "HIGH4", "HIGH5"):
         for jb in (32, 64, 128):
             # per-step dot M = 2*jb (4*jb stacked variants): the MXU
             # fill/drain bubble lever called out in BENCHMARKS_R2

@@ -219,6 +219,35 @@ def _fir_vmem_kernel(xm_re, xh_re, xm_im, xh_im, w1_ref,
     st_re = jnp.concatenate([xm_re[:, :], xh_re[:, :]], axis=0)  # (jb+8, rd)
     st_im = jnp.concatenate([xm_im[:, :], xh_im[:, :]], axis=0)
     up1 = st_re.shape[0] - 1        # roll is non-negative: up-1 == down-(n-1)
+    if precision == "HIGH5":
+        # Split-first variant: the bf16 hi/lo decomposition runs on the
+        # (jb+8, rd) window ONCE, before the roll/concat layout ops —
+        # HIGH1..4 split the assembled (2JB, rd+k2) operand, whose rows
+        # duplicate the window (a + the rolled b halves), so they convert
+        # ~2x the elements.  All layout ops then move bf16 (half the VPU
+        # bytes).  Same bf16x3 product as HIGH1: hi@wh + hi@wl + lo@wh.
+        sr_hi = st_re.astype(jnp.bfloat16)
+        sr_lo = (st_re - sr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        si_hi = st_im.astype(jnp.bfloat16)
+        si_lo = (st_im - si_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        kk = w1_ref.shape[0] // 2          # w1 = [hi; lo] rows, (2K, 128)
+        k2 = kk - st_re.shape[1]
+        dotb = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+
+        def assemble(pr, pi):
+            rr = pltpu.roll(pr, shift=up1, axis=0)
+            ri = pltpu.roll(pi, shift=up1, axis=0)
+            aa = jnp.concatenate([pr[:jb, :], pi[:jb, :]], axis=0)
+            bb = jnp.concatenate([rr[:jb, :k2], ri[:jb, :k2]], axis=0)
+            return jnp.concatenate([aa, bb], axis=1)     # (2JB, K) bf16
+
+        ab_hi = assemble(sr_hi, si_hi)
+        ab_lo = assemble(sr_lo, si_lo)
+        wh, wl = w1_ref[:kk, :], w1_ref[kk:, :]
+        y = dotb(ab_hi, wh) + dotb(ab_hi, wl) + dotb(ab_lo, wh)
+        o_re[:, :] = y[:jb, :]
+        o_im[:, :] = y[jb:, :]
+        return
     r_re = pltpu.roll(st_re, shift=up1, axis=0)
     r_im = pltpu.roll(st_im, shift=up1, axis=0)
     a = jnp.concatenate([st_re[:jb, :], st_im[:jb, :]], axis=0)  # (2JB, rd)
@@ -339,7 +368,7 @@ def _toeplitz_w_cat_cached(taps_key, d: int, prec_name: str):
         w[rr * d: rr * d + t, rr] = taps
     k2 = max(128, _round_up(max(slab_len - rd, 1), 128))
     wcat = np.concatenate([w[:rd], w[rd: rd + k2]], axis=0)
-    if prec_name in ("HIGH1", "HIGH3"):    # [hi; lo] stacked along rows
+    if prec_name in ("HIGH1", "HIGH3", "HIGH5"):   # [hi; lo] stacked along rows
         import ml_dtypes
         hi = wcat.astype(ml_dtypes.bfloat16)
         lo = (wcat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
@@ -355,8 +384,10 @@ def _toeplitz_w_cat_cached(taps_key, d: int, prec_name: str):
 # Which dot-packing variant the public "HIGH" precision dispatches to
 # (see _fir_vmem_kernel): HIGH1 = three N=128 dots (r2 baseline),
 # HIGH2 = hi-side passes share an N=256 dot, HIGH3 = wh passes share an
-# M=4JB dot, HIGH4 = one (4JB, K)@(K, 256) dot.  All compute the same
-# bf16x3 product; bench_roofline.py --variants measures the sweep.
+# M=4JB dot, HIGH4 = one (4JB, K)@(K, 256) dot, HIGH5 = HIGH1 dots with
+# the hi/lo split hoisted before the roll/concat layout ops (half the
+# converts, bf16 layout traffic).  All compute the same bf16x3 product;
+# bench_roofline.py --variants measures the sweep.
 _HIGH_VARIANT = "HIGH1"
 
 
