@@ -238,6 +238,44 @@ def main():
             roof["peaks"] = peaks
     except Exception as e:  # roofline is reporting, never a bench failure
         sys.stderr.write(f"roofline accounting skipped: {e}\n")
+
+    def _fastddc_account(decimation, channels, frames):
+        """Extra-field hook for the channelizer secondaries: an algorithmic
+        roofline account (VERDICT r1 #1 asks for pct_of_roofline on BOTH
+        metric kernels) computed from the measured wideband Msps and the
+        headline's already-measured chip peaks.  Compulsory traffic =
+        input read once + channel outputs written once; algorithmic flops
+        = fwd FFT (5 N log2 N per frame) + the folded inverse (fft/D
+        complex MACs per channel output, 8 real flops each)."""
+        def calc(v):
+            if roof is None or v is None:
+                return None
+            import math
+            from csdr_tpu.ops import fastddc as fd
+            from csdr_tpu.utils import roofline
+            ddc = fd.fastddc_init(0.05, decimation)
+            n = frames * ddc.input_size
+            per_s = n / (v * 1e6)
+            fft, inv = ddc.fft_size, ddc.fft_inv_size
+            out_per_frame = ddc.post_input_size / ddc.post_decimation
+            f_fft = 5.0 * fft * math.log2(fft) * frames
+            f_inv = (8.0 * frames * (fft / decimation)
+                     * channels * out_per_frame)
+            ideal = f_fft + f_inv
+            if ddc.post_input_size % ddc.post_decimation == 0:
+                # executed MACs of the fused-channelizer path: subsequence-
+                # split DFT einsum + per-channel fold + shared iDFT
+                mpad = fd.mpad_for(ddc)
+                executed = (8.0 * frames * fft * inv
+                            + 8.0 * frames * fft * channels
+                            + 8.0 * channels * frames * inv * mpad)
+            else:
+                executed = ideal  # classed path: algorithmic-only account
+            byts = 8.0 * (n + frames * channels * out_per_frame)
+            return roofline.account(
+                f"fastddc D={decimation} C={channels}",
+                per_s, byts, executed, roof["peaks"], "HIGH", ideal)
+        return calc
     # the driver records the single stdout line: print the proven headline
     # FIRST so a failure in any secondary metric can never lose it
     rec = {
@@ -307,7 +345,8 @@ def main():
     # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
     # round-1 limiter (505 -> ~1700 Msps)
     secondary("fastddc 64-channel D=50 (phase-classed inverse)",
-              "fastddc50", 1800)
+              "fastddc50", 1800,
+              roofline=_fastddc_account(50, 64, 2500))
     if os.environ.get("CSDR_BENCH_FLAGSHIP", "1") != "0":
         # ~5-7 min axon compile before the first step runs; subprocess
         # isolation + the wedge probe make it safe to run by default
@@ -324,7 +363,8 @@ def main():
               ref_1ch_cpu_Msps=lambda v: (round(ddc_ref1, 1)
                                           if ddc_ref1 else None),
               vs_baseline_64ch=lambda v: (round(v / (ddc_ref1 / 64), 1)
-                                          if ddc_ref1 else None))
+                                          if ddc_ref1 else None),
+              roofline=_fastddc_account(16, 64, 1024))
     secondary("fastddc 256-channel channelizer wideband throughput",
               "fastddc256", 1500)
 
