@@ -10,7 +10,10 @@ Stages (in risk order — cheapest/safest first):
   2 fft-bench  bench_fft.py --quick (kernel vs Stockham timing)
   3 goldens    the 36 reference-C golden tests with
                CSDR_TPU_TEST_PLATFORM=axon
-  4 bench      bench.py (the driver metric, incl. fastddc secondaries)
+  4 variants   bench_roofline.py --variants (FIR HIGH dot-packing x jb
+               sweep — its winner should be reflected in
+               fir_pallas._HIGH_VARIANT before stage 5)
+  5 bench      bench.py (the driver metric, incl. fastddc secondaries)
 
 Usage: python bench_onchip_checklist.py [--from N] [--only N]
 Writes per-stage logs to /tmp/onchip_stage<N>.log and a summary line each.
@@ -100,7 +103,10 @@ def main():
              "tests/test_fir.py", "tests/test_shift.py",
              "tests/test_fastddc.py", "tests/test_fft.py",
              "tests/test_fftfilt.py"], 3600, None),
-        (4, [sys.executable, "bench.py"], 3600, None),
+        # FIR dot-packing variants sweep BEFORE the driver bench: its
+        # winner should set fir_pallas._HIGH_VARIANT for stage 5
+        (4, [sys.executable, "bench_roofline.py", "--variants"], 2400, None),
+        (5, [sys.executable, "bench.py"], 3600, None),
     ]
     env_note = ("stage 3 needs CSDR_TPU_TEST_PLATFORM=axon in the "
                 "environment; stage 0-2/4 run on the default (axon) backend")
