@@ -270,7 +270,15 @@ def main():
                             + 8.0 * frames * fft * channels
                             + 8.0 * channels * frames * inv * mpad)
             else:
-                executed = ideal  # classed path: algorithmic-only account
+                # classed path executed MACs: fwd matmul-FFT kernel
+                # (dominated by the per-tile 128-point DFT matmuls) +
+                # the per-class spectra einsum + the 0/1 compaction
+                q, _t0s, _ms, m_max, _s = fd._class_plan(ddc)
+                ga = q * ddc.post_input_size // ddc.post_decimation
+                executed = (8.0 * frames * fft * 128
+                            + 8.0 * frames * fft * channels * m_max
+                            + 4.0 * channels * (frames / q)
+                            * (q * m_max) * ga)
             byts = 8.0 * (n + frames * channels * out_per_frame)
             return roofline.account(
                 f"fastddc D={decimation} C={channels}",

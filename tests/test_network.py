@@ -602,12 +602,20 @@ def test_ddcd_native_front_client_churn(native_build):
         # a fresh client after the churn still gets a working channel
         c = socket.create_connection(("127.0.0.1", port), timeout=5)
         c.sendall(b"shift=-0.11\n")
-        d = _recv_n(c, 4096 * 8, timeout=120)
-        y = np.frombuffer(d, np.float32)
-        y = (y[0::2] + 1j * y[1::2])[512:]
-        spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
-        peak = np.fft.fftfreq(len(y))[np.argmax(spec)]
-        assert abs(peak) < 0.02, peak
+        # samples produced BEFORE the retune command is processed stream at
+        # the slot's previous shift (same semantics as the reference ddcd);
+        # under scheduler load that can be several chunks, so poll windows
+        # until the retuned peak appears
+        deadline = time.time() + 120
+        while True:
+            d = _recv_n(c, 4096 * 8, timeout=120)
+            y = np.frombuffer(d, np.float32)
+            y = (y[0::2] + 1j * y[1::2])[512:]
+            spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+            peak = np.fft.fftfreq(len(y))[np.argmax(spec)]
+            if abs(peak) < 0.02:
+                break
+            assert time.time() < deadline, f"retuned peak never appeared: {peak}"
         c.close()
         stop.set()
     finally:
