@@ -70,11 +70,13 @@ std::size_t qdepth = 64;
 std::atomic<int> n_writers{0};
 
 // Writer thread: drains slot s's queue for connection generation `gen`.
-void writer_loop(int s, int gen) {
+// The writer OWNS closing `fd`: close_slot only shutdown(2)s it, so the fd
+// number cannot be reused by accept(2) while a send on it may still be in
+// flight here (fd-reuse would let a stale writer feed a fresh client).
+void writer_loop(int s, int gen, int fd) {
   Slot& sl = slots[static_cast<std::size_t>(s)];
   for (;;) {
     std::vector<char> buf;
-    int fd;
     {
       std::unique_lock<std::mutex> lk(sl.mu);
       sl.cv.wait(lk, [&] {
@@ -83,7 +85,6 @@ void writer_loop(int s, int gen) {
       if (sl.gen != gen || sl.closing) break;
       buf = std::move(sl.q.front());
       sl.q.pop_front();
-      fd = sl.fd;
     }
     std::size_t off = 0;
     while (off < buf.size()) {
@@ -100,10 +101,20 @@ void writer_loop(int s, int gen) {
       }
     }
   }
+  // Don't close until close_slot has invalidated the slot (gen bump):
+  // if this writer exited on self-detected `closing`, close_slot still
+  // holds the fd NUMBER and will shutdown(2) it — closing first would
+  // let accept(2) reuse the number and that shutdown hit a stranger.
+  {
+    std::unique_lock<std::mutex> lk(sl.mu);
+    sl.cv.wait(lk, [&] { return sl.gen != gen; });
+  }
+  close(fd);
   --n_writers;
 }
 
-// Must hold no slot lock.  Frees the slot and emits `close` once.
+// Must hold no slot lock.  Frees the slot and emits `close` once.  The fd
+// itself is only shutdown(2) here — its writer thread closes it on exit.
 void close_slot(int s) {
   Slot& sl = slots[static_cast<std::size_t>(s)];
   int fd;
@@ -118,7 +129,7 @@ void close_slot(int s) {
     sl.rxbuf.clear();
   }
   sl.cv.notify_all();
-  close(fd);
+  shutdown(fd, SHUT_RDWR);
   emit("close %d\n", s);
 }
 
@@ -148,7 +159,11 @@ int main(int argc, char** argv) {
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> const char* {
-      return (i + 1 < argc) ? argv[++i] : nullptr;
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "ddcd_front: %s needs a value\n", a.c_str());
+        std::exit(1);
+      }
+      return argv[++i];
     };
     if (a == "--port" || a == "-p") port = atoi(next());
     else if (a == "--address" || a == "-a") address = next();
@@ -258,7 +273,7 @@ int main(int argc, char** argv) {
             s = k;
             setsockopt(cfd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
             ++n_writers;
-            std::thread(writer_loop, k, sl.gen).detach();
+            std::thread(writer_loop, k, sl.gen, cfd).detach();
           }
         }
         if (s < 0) {
@@ -300,8 +315,10 @@ int main(int argc, char** argv) {
       }
     }
   }
+  // close the listen socket FIRST: a lame-duck backlog must not keep
+  // accepting handshakes while writers drain
+  close(lfd);
   for (int s = 0; s < nslots; ++s) close_slot(s);
   for (int i = 0; i < 100 && n_writers.load() > 0; ++i) usleep(20000);
-  close(lfd);
   return 0;
 }

@@ -520,10 +520,15 @@ def test_ddcd_native_front(native_build):
 
         x = _tone_mix(1 << 19, (0.11,), (1.0,))
         raw = np.stack([x.real, x.imag], -1).astype(np.float32).tobytes()
+        stop = threading.Event()
 
         def feeder():
+            # keep the wideband stream alive until the test's checks are
+            # done: stdin EOF is the server's NORMAL shutdown, and the
+            # slot-reuse check below must not race the drain
             try:
-                proc.stdin.write(raw)
+                while not stop.is_set():
+                    proc.stdin.write(raw)
                 proc.stdin.close()
             except OSError:
                 pass
@@ -546,6 +551,7 @@ def test_ddcd_native_front(native_build):
         c3 = socket.create_connection(("127.0.0.1", port), timeout=5)
         c3.close()
         c2.close()
+        stop.set()
     finally:
         proc.terminate()
         proc.wait(timeout=15)
