@@ -86,7 +86,11 @@ int main(int argc, char** argv) {
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> const char* {
-      return (i + 1 < argc) ? argv[++i] : nullptr;
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "nmux: %s needs a value\n", a.c_str());
+        std::exit(1);
+      }
+      return argv[++i];
     };
     if (a == "--port" || a == "-p") port = atoi(next());
     else if (a == "--address" || a == "-a") address = next();
@@ -167,9 +171,10 @@ int main(int argc, char** argv) {
       }
     }
   }
-  // drain: give connected clients a moment to finish sending
+  // stop accepting BEFORE the drain (no lame-duck backlog), then give
+  // connected clients a moment to finish sending the stream tail
+  close(lfd);
   for (int i = 0; i < 100 && n_clients.load() > 0; ++i)
     usleep(20000);
-  close(lfd);
   return 0;
 }
