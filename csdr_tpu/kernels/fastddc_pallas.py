@@ -142,11 +142,16 @@ def _inv_vmem(s_re, s_im, tq_re, tq_im, rot_re, rot_im, d_re, d_im, w1,
     return o_re, o_im
 
 
-def pack_w(w: np.ndarray, prec: str, mpad: int = 128):
+def pack_w(w: np.ndarray, prec: str, mpad: int | None = None):
     """Host-side W packing: complex (inv, M) -> [wr | wi] lanes, each padded
-    to ``mpad``; for the manual-bf16x3 HIGH path an exact [hi; lo] row stack
-    in bf16."""
+    to ``mpad`` (default: M rounded up to a 128-lane multiple — a fixed 128
+    would silently overlap the wi half for M > 128 plans like D=4's m=224);
+    for the manual-bf16x3 HIGH path an exact [hi; lo] row stack in bf16."""
     inv, m = w.shape
+    if mpad is None:
+        mpad = max(128, _round_up(m, 128))
+    if m > mpad:
+        raise ValueError(f"pack_w: m={m} exceeds mpad={mpad}")
     wcat = np.zeros((inv, 2 * mpad), np.float32)
     wcat[:, :m] = w.real
     wcat[:, mpad:mpad + m] = w.imag
@@ -190,13 +195,21 @@ def pick_tiles(b: int, c: int, pre: int | None = None,
 def fastddc_inv_vmem(spectra, tq, w1, d, rot, m_out: int, prec: str):
     """VMEM factored-v2 inverse.  spectra CF (B, fft); tq CF (C, pre, inv);
     w1 packed ndarray from pack_w; d CF (C, mpad); rot CF (C, B) per-frame
-    NCO rotation.  Returns CF (C, B, m_out).  Caller guarantees
-    pick_tiles(B, C) is not None."""
+    NCO rotation.  Returns CF (C, B, m_out).  Caller should gate on
+    pick_tiles(B, C, pre, inv); the full guard (incl. the plan-shape
+    sublane/lane rules) is re-checked here so an unlowerable Mosaic kernel
+    can never be attempted."""
     from csdr_tpu.core.cplx import CF
 
     c, pre, inv = tq.re.shape
     b = spectra.re.shape[0]
-    bt, cb = pick_tiles(b, c)
+    tiles = pick_tiles(b, c, pre, inv)
+    if tiles is None:
+        raise ValueError(
+            f"fastddc_inv_vmem: shape not kernel-tileable (B={b}, C={c}, "
+            f"pre={pre}, inv={inv}) — gate on pick_tiles(...) and use the "
+            "XLA factored path")
+    bt, cb = tiles
     o_re, o_im = _inv_vmem(spectra.re, spectra.im, tq.re, tq.im,
                            rot.re, rot.im, d.re, d.im, jnp.asarray(w1),
                            pre, inv, m_out, bt, cb, prec)

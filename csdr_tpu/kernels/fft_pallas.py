@@ -68,7 +68,6 @@ def supported(n: int, b: int) -> bool:
     falls back coherently to the Stockham FFT + an order gather.  Set it
     BEFORE the process builds any plan — flipping it mid-process leaves
     already-jitted callables on their original path."""
-    import os
     if os.environ.get("CSDR_FFT_KERNEL", "1") == "0":
         return False
     if n < LANE or n > 16384 or (n & (n - 1)):
@@ -300,17 +299,18 @@ def _pick_bt(n: int, b: int) -> int:
     """Frames per grid step: in+out blocks double-buffered are ~16*Bt*N
     bytes of VMEM, so cap Bt*N at 512K elements (8 MB) and Bt at 128.
 
-    Prefer an exact divisor; otherwise take the largest power-of-two tile
-    that doesn't exceed the batch and PAD b up to it (the caller already
-    pads): a ragged batch like b=2500 then runs bt=128 with 2.4%% padding
-    instead of bt=8 — per-step dots of M=2*bt rows, and M=16 dots waste
-    the MXU (the skinny-M pathology of CLAUDE.md)."""
+    Prefer a LARGE exact divisor (>= 32: per-step dots are M=2*bt rows and
+    skinny-M dots waste the MXU — CLAUDE.md); otherwise take the largest
+    power-of-two tile that doesn't exceed the batch and PAD b up to it
+    (the caller already pads): b=2500 runs bt=128 with 2.4%% padding and
+    b=1000 pads to 1024 rather than running 125 M=16-row steps."""
     cap = max(8, min(128, (1 << 19) // n))
-    for bt in (128, 64, 32, 16, 8):
+    for bt in (128, 64, 32):
         if bt <= cap and b % bt == 0:
             return bt
+    b_pow2 = 1 << (b - 1).bit_length()     # don't pad past the next pow2
     bt = 8
-    while bt * 2 <= min(cap, b):
+    while bt * 2 <= min(cap, b_pow2):
         bt *= 2
     return bt
 

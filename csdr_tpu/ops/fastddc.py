@@ -467,8 +467,11 @@ def fastddc_inv_dynamic_factored_block(ddc: FastDDC, n_channels: int,
     chunks) the XLA factored2 path.  ~8x fewer MACs than the dense dynamic
     matmul at D=16.
 
-    Returns (init, step): step(phases, spectra CF (B, fft), tq CF
-    (C, pre, inv), d CF (C, mpad), cyc (C,)) -> (phases', VarOut)."""
+    Returns (init, step): step(state, spectra CF (B, fft), tq CF
+    (C, pre, inv), d CF (C, mpad), cyc (C,)) -> (state', VarOut); the state
+    carries (phases, packed W) — the shared iDFT matrix rides the pytree so
+    it is a program ARGUMENT, not a multi-MB compile-time constant baked
+    into the shipped executable."""
     from csdr_tpu.kernels import fastddc_pallas as fpk
 
     pis, post = ddc.post_input_size, ddc.post_decimation
@@ -480,30 +483,20 @@ def fastddc_inv_dynamic_factored_block(ddc: FastDDC, n_channels: int,
     w1_np = fpk.pack_w(w_np, precision, mpad)
 
     def init():
-        return jnp.zeros((c,), jnp.float32)
+        return (jnp.zeros((c,), jnp.float32), jnp.asarray(w1_np))
 
-    def step(phases, spectra: CF, tq: CF, d: CF, cyc):
+    def step(state, spectra: CF, tq: CF, d: CF, cyc):
+        phases, w1 = state
         b = spectra.shape[0]
         k = jnp.arange(b, dtype=jnp.float32)
         ramp = (k[None, :] * cyc[:, None]) % 1.0
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
-        if ((jax.default_backend() == "tpu"
-                 or os.environ.get("CSDR_PALLAS_INTERPRET"))
-                and fpk.pick_tiles(b, c, tq.re.shape[1], tq.re.shape[2])
-                    is not None):
-            y = fpk.fastddc_inv_vmem(spectra, tq, jnp.asarray(w1_np), d,
-                                     rot, m, precision)
-        else:
-            wq = CF(jnp.asarray(w_np.real.astype(np.float32)),
-                    jnp.asarray(w_np.imag.astype(np.float32)))
-            dq = CF(d.re[:, :m], d.im[:, :m])
-            y0 = fastddc_inv_factored2_batch(spectra, tq, wq, dq)
-            y = CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
-                   y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+        y = _inv_factored2_dispatch(spectra, tq, d, w1, w_np, rot, m,
+                                    precision)
         out = CF(y.re.reshape(c, b * m), y.im.reshape(c, b * m))
         counts = jnp.full((c,), b * m, jnp.int32)
         nphase = (phases + (b * cyc) % 1.0) % 1.0
-        return nphase, VarOut(out, counts)
+        return (nphase, w1), VarOut(out, counts)
 
     return init, step
 
@@ -512,16 +505,19 @@ def dynamic_channelizer_rows(ddc: FastDDC, shift_rate: float,
                              mpad: int | None = None):
     """One channel's payload for the dynamic FUSED channelizer:
     (tq2_row (pre, inv) c64 — split-DFT twiddles absorbed, d_row (mpad,)
-    c64, cyc f32).  Same size as dynamic_channel_rows."""
-    inv, fft, pre = ddc.fft_inv_size, ddc.fft_size, ddc.pre_decimation
-    tq_row, d_row, cyc = dynamic_channel_rows(ddc, shift_rate, mpad)
-    n2 = np.arange(pre)
-    j = np.arange(pre)
-    m = np.arange(inv)
-    tw = np.exp(-2j * np.pi * n2[:, None, None]
-                * (m[None, None, :] + inv * j[None, :, None]) / fft)
-    tq2_row = np.einsum("jm,njm->nm", tq_row.astype(np.complex128), tw)
-    return tq2_row.astype(np.complex64), d_row, cyc
+    c64, cyc f32).  Same size as dynamic_channel_rows.
+
+    The TQ->TQ2 fold is channelizer_arrays' (single channel): reusing it
+    keeps retune payloads numerically IDENTICAL to the block's initially
+    built rows (both must match for a re-tune back to a starting rate to
+    restore bit-identical output)."""
+    tq2, _wdft, _w, d, cyc = channelizer_arrays(ddc, [float(shift_rate)])
+    m = ddc.post_input_size // ddc.post_decimation
+    if mpad is None:
+        mpad = mpad_for(ddc)
+    drow = np.zeros((mpad,), np.complex64)
+    drow[:m] = d[0]
+    return tq2[0], drow, np.float32(cyc[0])
 
 
 def fastddc_dynamic_channelizer_block(ddc: FastDDC, n_channels: int,
@@ -531,8 +527,11 @@ def fastddc_dynamic_channelizer_block(ddc: FastDDC, n_channels: int,
     FFT and per-channel TQ2/d rows as traced arguments (retunes never
     recompile).  Divisible-post configs only.
 
-    Returns (init, step): step((tail, phases), x CF, tq2 CF (C, pre, inv),
-    d CF (C, mpad), cyc (C,)) -> ((tail', phases'), VarOut)."""
+    Returns (init, step): step(state, x CF, tq2 CF (C, pre, inv),
+    d CF (C, mpad), cyc (C,)) -> (state', VarOut); the state carries
+    (tail, phases, wdft, packed W) — the DFT and iDFT matrices ride the
+    pytree so they are program ARGUMENTS, not multi-MB compile-time
+    constants baked into the shipped executable."""
     from csdr_tpu.kernels import fastddc_pallas as fpk
 
     pis, post = ddc.post_input_size, ddc.post_decimation
@@ -549,43 +548,33 @@ def fastddc_dynamic_channelizer_block(ddc: FastDDC, n_channels: int,
     wdft_i = wdft_np.imag.astype(np.float32)
 
     def init():
-        return (CF.zeros((ov,)), jnp.zeros((c,), jnp.float32))
+        return (CF.zeros((ov,)), jnp.zeros((c,), jnp.float32),
+                CF(jnp.asarray(wdft_r), jnp.asarray(wdft_i)),
+                jnp.asarray(w1_np))
 
     def step(state, x: CF, tq2: CF, d: CF, cyc):
-        tail, phases = state
+        tail, phases, wdft, w1 = state
         n = x.shape[0]
         assert n % ins == 0, f"chunk {n} % input_size {ins} != 0"
         b = n // ins
         frames = overlap_frames(x, tail, ins, ov)
         x6r = frames.re.reshape(b, inv, pre).swapaxes(1, 2)
         x6i = frames.im.reshape(b, inv, pre).swapaxes(1, 2)
-        wr, wi = jnp.asarray(wdft_r), jnp.asarray(wdft_i)
         ein = lambda u, v: jnp.einsum(
             "bpn,nm->bpm", u, v, precision=dft_prec,
             preferred_element_type=jnp.float32)
-        y2r = ein(x6r, wr) - ein(x6i, wi)
-        y2i = ein(x6r, wi) + ein(x6i, wr)
+        y2r = ein(x6r, wdft.re) - ein(x6i, wdft.im)
+        y2i = ein(x6r, wdft.im) + ein(x6i, wdft.re)
         s = CF(y2r.reshape(b, fft), y2i.reshape(b, fft))
         k = jnp.arange(b, dtype=jnp.float32)
         ramp = (k[None, :] * cyc[:, None]) % 1.0
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
-        if ((jax.default_backend() == "tpu"
-                 or os.environ.get("CSDR_PALLAS_INTERPRET"))
-                and fpk.pick_tiles(b, c, tq2.re.shape[1], tq2.re.shape[2])
-                    is not None):
-            y = fpk.fastddc_inv_vmem(s, tq2, jnp.asarray(w1_np), d, rot, m,
-                                     precision)
-        else:
-            wq = CF(jnp.asarray(w_np.real.astype(np.float32)),
-                    jnp.asarray(w_np.imag.astype(np.float32)))
-            dq = CF(d.re[:, :m], d.im[:, :m])
-            y0 = fastddc_inv_factored2_batch(s, tq2, wq, dq)
-            y = CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
-                   y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+        y = _inv_factored2_dispatch(s, tq2, d, w1, w_np, rot, m,
+                                    precision)
         out = CF(y.re.reshape(c, b * m), y.im.reshape(c, b * m))
         counts = jnp.full((c,), b * m, jnp.int32)
         nphase = (phases + (b * cyc) % 1.0) % 1.0
-        return ((x[n - ov:], nphase), VarOut(out, counts))
+        return ((x[n - ov:], nphase, wdft, w1), VarOut(out, counts))
 
     return init, step
 
@@ -749,6 +738,36 @@ def channel_factored2_arrays(ddc: FastDDC, rates):
             np.asarray(cyc_list, np.float64))
 
 
+def _inv_factored2_dispatch(spectra, tq, d, w1, w_np, rot, m: int,
+                            precision: str):
+    """Kernel-vs-XLA dispatch shared by every factored-v2 inverse block:
+    the VMEM pallas kernel when the backend and (chunk, plan) shape allow
+    (kernels/fastddc_pallas.pick_tiles), else the XLA factored batch at
+    the SAME precision with the per-frame NCO applied after.
+
+    spectra CF (B, fft); tq CF (C, pre, inv); d CF (C, mpad) padded
+    diagonal; w1 packed kernel matrix (device array or ndarray);
+    w_np complex ndarray (inv, M); rot CF (C, B).  Returns CF (C, B, m)."""
+    from csdr_tpu.kernels import fastddc_pallas as fpk
+
+    b = spectra.shape[0]
+    c = tq.re.shape[0]
+    if ((jax.default_backend() == "tpu"
+             or os.environ.get("CSDR_PALLAS_INTERPRET"))
+            and fpk.pick_tiles(b, c, tq.re.shape[1], tq.re.shape[2])
+                is not None):
+        return fpk.fastddc_inv_vmem(spectra, tq, jnp.asarray(w1), d, rot, m,
+                                    precision)
+    wq = CF(jnp.asarray(w_np.real.astype(np.float32)),
+            jnp.asarray(w_np.imag.astype(np.float32)))
+    dq = CF(d.re[:, :m], d.im[:, :m])
+    prec = (getattr(jax.lax.Precision, precision)
+            if isinstance(precision, str) else precision)
+    y0 = fastddc_inv_factored2_batch(spectra, tq, wq, dq, precision=prec)
+    return CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
+              y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+
+
 def fastddc_inv_factored2_batch(spectra: CF, tq: CF, w: CF, d: CF,
                                 precision=jax.lax.Precision.HIGH):
     """Factored-v2 inverse (XLA form): VPU fold + ONE shared iDFT matmul +
@@ -868,14 +887,8 @@ def _fastddc_inv_vmem_block(ddc: FastDDC, rates,
         b = spectra.shape[0]
         ramp, adv = _ramps(b)
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))  # (C, b)
-        if fpk.pick_tiles(b, c, tq.re.shape[1], tq.re.shape[2]) is not None:
-            y = fpk.fastddc_inv_vmem(spectra, tq, w1, d, rot, m, precision)
-        else:
-            wq = CF(jnp.asarray(w_np.real), jnp.asarray(w_np.imag))
-            dq = CF(d.re[:, :m], d.im[:, :m])
-            y0 = fastddc_inv_factored2_batch(spectra, tq, wq, dq)
-            y = CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
-                   y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+        y = _inv_factored2_dispatch(spectra, tq, d, w1, w_np, rot, m,
+                                    precision)
         out = CF(y.re.reshape(c, b * m), y.im.reshape(c, b * m))
         counts = jnp.full((c,), b * m, jnp.int32)
         return ((phases + adv) % 1.0, tq, d, w1), VarOut(out, counts)
@@ -976,18 +989,7 @@ def fastddc_channelizer_block(ddc: FastDDC, shift_rates,
         s = CF(y2r.reshape(b, fft), y2i.reshape(b, fft))
         ramp, adv = _ramps(b)
         rot = expj(2.0 * np.pi * ((phases[:, None] + ramp) % 1.0))
-        if ((jax.default_backend() == "tpu"
-                 or os.environ.get("CSDR_PALLAS_INTERPRET"))
-                and fpk.pick_tiles(b, c, tq2.re.shape[1], tq2.re.shape[2])
-                    is not None):
-            y = fpk.fastddc_inv_vmem(s, tq2, w1, d, rot, m, precision)
-        else:
-            wq = CF(jnp.asarray(w_np.real.astype(np.float32)),
-                    jnp.asarray(w_np.imag.astype(np.float32)))
-            dq = CF(d.re[:, :m], d.im[:, :m])
-            y0 = fastddc_inv_factored2_batch(s, tq2, wq, dq)
-            y = CF(y0.re * rot.re[:, :, None] - y0.im * rot.im[:, :, None],
-                   y0.re * rot.im[:, :, None] + y0.im * rot.re[:, :, None])
+        y = _inv_factored2_dispatch(s, tq2, d, w1, w_np, rot, m, precision)
         out = CF(y.re.reshape(c, b * m), y.im.reshape(c, b * m))
         counts = jnp.full((c,), b * m, jnp.int32)
         nstate = (x[n - ov:], (phases + adv) % 1.0, tq2, wdft, d, w1)
