@@ -87,15 +87,16 @@ def _inv_kernel(s_re, s_im, tq_re, tq_im, rot_re, rot_im, d_re, d_im,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pre", "inv", "m_out", "bt", "cb", "prec"))
+    jax.jit, static_argnames=("pre", "inv", "m_out", "bt", "cb", "prec",
+                              "interp"))
 def _inv_vmem(s_re, s_im, tq_re, tq_im, rot_re, rot_im, d_re, d_im, w1,
-              pre: int, inv: int, m_out: int, bt: int, cb: int, prec: str):
+              pre: int, inv: int, m_out: int, bt: int, cb: int, prec: str,
+              interp: bool = False):
     b = s_re.shape[0]
     c = tq_re.shape[0]
     grid = (b // bt, c // cb)      # channel axis innermost: S block cached
     kern = functools.partial(_inv_kernel, pre=pre, inv=inv, cb=cb, bt=bt,
                              m_out=m_out, prec=prec)
-    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
     mpad2 = w1.shape[-1]
     o_re, o_im = pl.pallas_call(
         kern,
@@ -210,7 +211,10 @@ def fastddc_inv_vmem(spectra, tq, w1, d, rot, m_out: int, prec: str):
             f"pre={pre}, inv={inv}) — gate on pick_tiles(...) and use the "
             "XLA factored path")
     bt, cb = tiles
+    # interpret mode rides the jit cache key so an env toggle can never
+    # silently reuse a trace of the other mode
+    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
     o_re, o_im = _inv_vmem(spectra.re, spectra.im, tq.re, tq.im,
                            rot.re, rot.im, d.re, d.im, jnp.asarray(w1),
-                           pre, inv, m_out, bt, cb, prec)
+                           pre, inv, m_out, bt, cb, prec, interp)
     return CF(o_re, o_im)

@@ -316,9 +316,9 @@ def _pick_bt(n: int, b: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "precision",
-                                             "bt"))
+                                             "bt", "interp"))
 def _fft_pallas(xr, xi, fr, fi, twr, twi, n: int, inverse: bool,
-                precision: str, bt: int):
+                precision: str, bt: int, interp: bool = False):
     b = xr.shape[0]
     t = n // LANE
     grid = b // bt
@@ -327,7 +327,6 @@ def _fft_pallas(xr, xi, fr, fi, twr, twi, n: int, inverse: bool,
         _fft_inv_kernel if inverse else _fft_fwd_kernel,
         t=t, sign=(+1 if inverse else -1), precision=precision,
         shared=shared)
-    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
     fdim = fr.shape[1]
     ft = fr.shape[0]                   # T folded, 1 shared
     in_specs = [
@@ -392,10 +391,13 @@ def _run(x: CF, inverse: bool, precision: str) -> CF:
         xi = jnp.concatenate([xi, jnp.zeros((pad, n), xi.dtype)])
     fr, fi, twr, twi = _mats_packed(n, +1 if inverse else -1, inverse,
                                     precision)
+    # interpret mode rides the jit cache key so an env toggle can never
+    # silently reuse a trace of the other mode
+    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
     yr, yi = _fft_pallas(xr, xi, jnp.asarray(fr), jnp.asarray(fi),
                          None if twr is None else jnp.asarray(twr),
                          None if twi is None else jnp.asarray(twi),
-                         n, inverse, precision, bt)
+                         n, inverse, precision, bt, interp)
     if pad:
         yr, yi = yr[:b], yi[:b]
     return CF(yr.reshape(shape), yi.reshape(shape))

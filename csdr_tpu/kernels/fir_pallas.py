@@ -107,7 +107,9 @@ def fir_decimate_pallas_or_fallback(xcat, taps, decimation: int, kout: int,
     d = decimation
     t = taps.shape[0]
     m = -(-t // d)
-    if xcat.shape[0] % d != 0 or jax.default_backend() != "tpu":
+    # m < 2: the halo side input would be a zero-width BlockSpec, which
+    # Mosaic cannot lower — the conv fallback handles the T <= D case
+    if xcat.shape[0] % d != 0 or m < 2 or jax.default_backend() != "tpu":
         return fir_decimate_cc(xcat, taps, d, precision)[:kout]
     # pad kout up to a full 2048-sample tile: a ragged kout otherwise picks
     # a tiny tile (e.g. 128) and the grid overhead dominates (~10x slower)
@@ -172,8 +174,8 @@ def _fir_decimate_toeplitz(x_re, x_im, w, decimation: int, kout: int,
     return yr, yi
 
 
-@functools.lru_cache(maxsize=None)
-def _toeplitz_w_cached(taps_key, d: int, r: int):
+@functools.lru_cache(maxsize=64)   # ~1.3 MB/entry: bound it (a retuning
+def _toeplitz_w_cached(taps_key, d: int, r: int):   # server designs new taps)
     taps = np.frombuffer(taps_key, np.float32)
     t = len(taps)
     slab_len = (r - 1) * d + t
@@ -303,9 +305,10 @@ def _fir_vmem_kernel(xm_re, xh_re, xm_im, xh_im, w1_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("decimation", "kout", "jb", "prec_name"))
+                   static_argnames=("decimation", "kout", "jb", "prec_name",
+                                    "interp"))
 def _fir_decimate_vmem(x_re, x_im, w1, decimation: int, kout: int,
-                       jb: int, prec_name: str):
+                       jb: int, prec_name: str, interp: bool = False):
     d = decimation
     rd = 128 * d
     jrows = kout // 128
@@ -314,8 +317,6 @@ def _fir_decimate_vmem(x_re, x_im, w1, decimation: int, kout: int,
     x2_re = x_re[: nrows * rd].reshape(nrows, rd)
     x2_im = x_im[: nrows * rd].reshape(nrows, rd)
     kern = functools.partial(_fir_vmem_kernel, jb=jb, precision=prec_name)
-    import os
-    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
     o_re, o_im = pl.pallas_call(
         kern,
         interpret=interp,
@@ -353,7 +354,7 @@ def _fir_decimate_vmem(x_re, x_im, w1, decimation: int, kout: int,
     return o_re.reshape(-1), o_im.reshape(-1)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)   # multi-MB entries: bound (see above)
 def _toeplitz_w_cat_cached(taps_key, d: int, prec_name: str):
     """Wcat = [W[:rd]; W[rd:rd+k2]] (rd+k2, 128) matching the kernel's
     fused [a | b[:, :k2]] operand; k2 = used rows of the second window row
@@ -423,10 +424,22 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
                  else str(precision))
     if prec_name == "HIGH":
         prec_name = _HIGH_VARIANT   # measured winner of the dot-packing sweep
+    if prec_name not in ("HIGHEST", "HIGH1", "HIGH2", "HIGH3", "HIGH4",
+                         "HIGH5"):
+        # the DEFAULT-precision Mosaic dot is a KNOWN axon device-wedger
+        # (CLAUDE.md); only the validated packings may reach the kernel
+        raise ValueError(
+            f"fir_decimate_vmem: precision {prec_name!r} not validated for "
+            "the Mosaic dot (DEFAULT wedges the device); use HIGHEST/HIGH "
+            "or the XLA Toeplitz path (fir_decimate_best)")
     w1 = _toeplitz_w_cat_cached(
         np.asarray(taps, np.float32).tobytes(), d, prec_name)
+    # interpret mode is part of the jit cache key: an env toggle must never
+    # silently reuse a trace of the other mode
+    import os
+    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
     yr, yi = _fir_decimate_vmem(xcat.re, xcat.im, jnp.asarray(w1),
-                                d, kout_pad, jb, prec_name)
+                                d, kout_pad, jb, prec_name, interp)
     return CF(yr[:kout], yi[:kout])
 
 

@@ -57,12 +57,16 @@ def fastagc_block(reference: float = 1.0, block_size: int | None = None) -> Bloc
 
 def simple_agc_cc(x: CF, rate, reference=1.0, max_gain=65535.0, current_gain=1.0):
     """reference libcsdr.c:2201-2217.  Per-sample:
-      ideal = clip(reference/|x|, 0, max_gain)
+      ideal = clip(reference/|x|, 0, max_gain)   (|x|=0: ref/0 = +inf in C,
+                                                  clamped DOWN to max_gain —
+                                                  zero runs raise the gain)
       g     = g*(1-2*rate) + rate*ideal          (the reference's exact update)
       y     = g*x
     Affine in g -> associative scan.  Returns (y, next_gain)."""
     amp = x.abs()
-    ideal = jnp.clip(reference / jnp.where(amp == 0, np.inf, amp), 0.0, max_gain)
+    ideal = jnp.where(
+        amp == 0, jnp.float32(max_gain),
+        jnp.clip(reference / jnp.where(amp == 0, 1.0, amp), 0.0, max_gain))
     a = jnp.float32(1.0 - 2.0 * rate)
     b = (rate * ideal).astype(jnp.float32)
     n = x.shape[0]
@@ -85,15 +89,28 @@ def simple_agc_block(rate: float, reference: float = 1.0, max_gain: float = 6553
 
 def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.0,
            hang_time=200, attack_wait_time=0, gain_filter_alpha=0.999,
-           last_gain=1.0):
+           last_gain=1.0, last_hang=0, full_state=False):
     """Full AGC with hang/attack-wait and gain IIR
     (reference libcsdr_gpl.c:163-260), as a lax.scan.
 
-    Returns (y, next_gain).  Matches the reference sample-for-sample,
-    including the quirk that output[0] is last_gain*input[0] and the
-    "dc-pass" gain filter y_gain = gain + last_gain - alpha*last_gain.
+    Returns (y, next_gain), or (y, next_gain, next_hang) with
+    full_state=True — thread last_hang too for chunk-size-invariant
+    streaming (the reference's buffer-local hang counter resets every
+    call, an artifact of its C locals; agc_block carries it like the
+    chunked path so both methods agree across chunk boundaries).
+    Matches the reference sample-for-sample, including the quirk that
+    output[0] is last_gain*input[0] and the "dc-pass" gain filter
+    y_gain = gain + last_gain - alpha*last_gain.
     """
     x = x.astype(jnp.float32)
+    if x.shape[0] <= 1:
+        # degenerate EOF chunks: emit with last_gain, state unchanged
+        # (mirrors agc_ff_chunked's n<=1 guard; x[1:] would be an empty
+        # scan and x[0] an out-of-bounds read at n=0)
+        y = jnp.asarray(last_gain, jnp.float32) * x
+        g0 = jnp.asarray(last_gain, jnp.float32)
+        return (y, g0, jnp.asarray(last_hang, jnp.int32)) if full_state \
+            else (y, g0)
 
     def step(carry, xi):
         gain, last_gain_s, last_peak, hang_counter, attack_wait_counter = carry
@@ -135,24 +152,29 @@ def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.
         jnp.asarray(last_gain, jnp.float32),
         jnp.asarray(last_gain, jnp.float32),
         jnp.asarray(reference / last_gain, jnp.float32),
-        jnp.int32(0),
+        jnp.asarray(last_hang, jnp.int32),
         jnp.int32(0),
     )
     # reference skips sample 0: output[0] = last_gain*input[0]
     carry, y_rest = jax.lax.scan(step, init_carry, x[1:], unroll=32)
     y0 = jnp.asarray(last_gain, jnp.float32) * x[0]
     y = jnp.concatenate([jnp.reshape(y0, (1,)), y_rest])
-    return y, carry[0]
+    return (y, carry[0], carry[3]) if full_state else (y, carry[0])
 
 
 def agc_block(method: str = "chunked", **params) -> Block:
     """agc_ff as a streaming Block.  method='chunked' (default) uses the
     waveform-relaxation form (~12x the scan's throughput, matches the scan
     within float-reordering, verified per chunk); method='scan' is the
-    bit-faithful sequential reference path."""
+    bit-faithful sequential reference path.  Both methods carry
+    (gain, hang) across chunks, so they agree across chunk boundaries."""
     if method == "chunked":
         assert params.get("attack_wait_time", 0) == 0, \
             "chunked agc supports attack_wait_time=0 only; use method='scan'"
+        assert (params.get("attack_rate", 0.01) <= 1.0
+                and params.get("decay_rate", 0.001) <= 1.0), \
+            "chunked agc models the gain>=0 clamp only for rates <= 1 " \
+            "(the reference's operating domain); use method='scan'"
 
         def init():
             return (jnp.float32(params.get("last_gain", 1.0)), jnp.int32(0))
@@ -169,13 +191,15 @@ def agc_block(method: str = "chunked", **params) -> Block:
         return Block("agc_ff", init, apply)
 
     def init():
-        return jnp.float32(params.get("last_gain", 1.0))
+        return (jnp.float32(params.get("last_gain", 1.0)), jnp.int32(0))
 
-    def apply(gain, x):
+    def apply(state, x):
+        gain, hang = state
         p = dict(params)
         p["last_gain"] = gain
-        y, gain = agc_ff(x, **p)
-        return gain, y
+        p["last_hang"] = hang
+        y, gain, hang = agc_ff(x, full_state=True, **p)
+        return (gain, hang), y
 
     return Block("agc_ff", init, apply)
 

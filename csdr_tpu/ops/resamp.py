@@ -139,7 +139,10 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
         # loop-exit carry (reference libcsdr.c:789-792): input_processed is
         # computed from the first invalid index_high
         ih_exit = jnp.ceil(where + count.astype(jnp.float32) * jnp.float32(rate)).astype(jnp.int32)
-        input_processed = (ih_exit - 1) + xifirst
+        # clamp >= 0 (like the rational path): a zero-output chunk at a
+        # fresh state otherwise yields input_processed = -1, permanently
+        # desyncing occ/where by one phantom buffer slot
+        input_processed = jnp.maximum((ih_exit - 1) + xifirst, 0)
         new_where = where + count.astype(jnp.float32) * jnp.float32(rate) - input_processed.astype(jnp.float32)
         new_occ = size - input_processed
         # roll consumed samples out of the buffer
@@ -205,7 +208,12 @@ def _fractional_decimator_rational_block(rate, q_den, p, xifirst, xs_np,
 
     def apply(state, x):
         n = x.shape[0]
-        cap = out_capacity or int(n / rate) + 2
+        # +q_den headroom: emission floors to whole den-classes, leaving up
+        # to q_den-1 outputs buffered; the NEXT chunk must be able to emit
+        # arrivals + that backlog or occupancy grows without bound (e.g.
+        # rate 2.4, chunk 246: arrivals 102.5/chunk but a +2 cap clamps
+        # emission at 100 forever — the buffer then overflows silently)
+        cap = out_capacity or int(n / rate) + q_den + 2
         # capacity rounded to whole slab rows of g_grp*q_den outputs
         rows = -(-cap // (g_grp * q_den))
         if state is None:

@@ -29,10 +29,11 @@ def _wrap_pi(p):
 # PLL (reference libcsdr.c:1844-1915)
 # --------------------------------------------------------------------------
 
-def pll_loop_params(bandwidth: float, ko: float = 1.0, kd: float = 0.1,
+def pll_loop_params(bandwidth: float, ko: float = 10.0, kd: float = 0.1,
                     damping_factor: float = 0.707):
     """PI controller gains (reference pll_cc_init_pi_controller,
-    libcsdr.c:1849-1858)."""
+    libcsdr.c:1849-1858; the reference CLI defaults ko=10, kd=0.1 —
+    csdr.c:2546)."""
     bw = TWO_PI * bandwidth
     alpha = (damping_factor * 2 * bw) / (ko * kd)
     beta = (bw * bw) / (ko * kd)
@@ -85,10 +86,12 @@ def pll_block(bandwidth: float = 0.01, pi_controller: bool = True,
 # BPSK Costas loop (reference libcsdr.c:2094-2142)
 # --------------------------------------------------------------------------
 
-def costas_loop_params(bandwidth: float = 2 * np.pi / 100,
+def costas_loop_params(bandwidth: float = 0.01,
                        damping_factor: float = 0.707):
     """alpha/beta from bandwidth+damping (reference init_bpsk_costas_loop_cc,
-    libcsdr.c:2094-2106, gnuradio-style)."""
+    libcsdr.c:2094-2106, gnuradio-style).  ``bandwidth`` is the reference's
+    parameter BEFORE the 2*pi (its comment: "bandwidth should be around
+    0.01 by default (2pi/100)" — i.e. omega = 2*pi*0.01)."""
     bw = TWO_PI * bandwidth
     denom = 1 + 2 * damping_factor * bw + bw * bw
     alpha = (4 * damping_factor * bw) / denom

@@ -104,3 +104,46 @@ def test_agc_chunked_max_gain_on_zero_run():
     assert np.isfinite(np.asarray(y_c)).all()
     assert abs(float(g_c) - float(g_ref)) / max(abs(float(g_ref)), 1e-9) < 1e-3
     assert_snr(np.asarray(y_ref), np.asarray(y_c), 80, "agc zero-run clamp")
+
+
+def test_simple_agc_zero_run_matches_reference():
+    """|x|=0 samples: the reference's ref/0 = +inf is clamped DOWN to
+    max_gain, so silence RAISES the gain (libcsdr.c:2201-2217) — a
+    squelch gap must not collapse the gain toward zero."""
+    x = np.zeros(300, np.complex64)
+    x[:100] = 0.5
+    x[200:] = 0.5
+    ref, gref = refbind.simple_agc_cc(x, rate=0.05, reference=0.7,
+                                      max_gain=100.0)
+    ours, g = agc.simple_agc_cc(to_dev(x), rate=0.05, reference=0.7,
+                                max_gain=100.0)
+    assert_snr(ref, to_host(ours), 70, "simple_agc zero run")
+    assert abs(float(g) - gref) / max(abs(gref), 1e-9) < 1e-4
+
+
+def test_agc_ff_degenerate_chunks():
+    """0- and 1-sample chunks (EOF tails) must not crash and must carry
+    state through unchanged — both methods."""
+    y, g = agc.agc_ff(jnp.zeros((0,), jnp.float32), last_gain=2.0)
+    assert y.shape == (0,) and float(g) == 2.0
+    y, g, h = agc.agc_ff(jnp.asarray([0.5], jnp.float32), last_gain=2.0,
+                         last_hang=7, full_state=True)
+    assert np.allclose(np.asarray(y), [1.0]) and float(g) == 2.0
+    assert int(h) == 7
+
+
+def test_agc_scan_chunked_agree_across_chunk_boundary():
+    """An attack within hang_time of a chunk boundary: both streaming
+    methods carry (gain, hang), so their outputs agree on the next chunk
+    (the hang freeze is honored by both)."""
+    rng = np.random.default_rng(11)
+    s = (0.05 * rng.standard_normal(8192)).astype(np.float32)
+    s[4090] = 2.0                      # attack 6 samples before the split
+    outs = {}
+    for method in ("scan", "chunked"):
+        blk = agc.agc_block(method=method)
+        st = blk.init()
+        st, y1 = blk.apply(st, jnp.asarray(s[:4096]))
+        st, y2 = blk.apply(st, jnp.asarray(s[4096:]))
+        outs[method] = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    assert_snr(outs["scan"], outs["chunked"], 80, "scan vs chunked @ hang")
