@@ -891,26 +891,24 @@ def _c_bandpass(args):
     else:
         low, high, bw = float(a[0]), float(a[1]), float(a[2])
         win = _window(a, 3)
-    box = {"blk": fftfilt.bandpass_fir_fft_block(low, high, bw, win)}
+    blk = fftfilt.bandpass_fir_fft_block(low, high, bw, win)
 
     def on_chunk(state):
+        # the taps spectra live in the state pytree (traced args), so the
+        # retune swaps them WITHOUT retracing; swapping a closure-held
+        # block would be a silent no-op against the jitted apply
         line = ctl.poll()
         if line:
             try:
                 lo, hi = map(float, line.split())
-                box["blk"] = fftfilt.bandpass_fir_fft_block(lo, hi, bw, win)
-                sys.stderr.write(f"bandpass: retuned to [{lo}, {hi}]\n")
             except ValueError:
-                pass
+                return state
+            tfft, tko = fftfilt.bandpass_taps_spectra(bw, lo, hi, win)
+            sys.stderr.write(f"bandpass: retuned to [{lo}, {hi}]\n")
+            return (state[0], tfft, tko if tko is not None else state[2])
         return state
 
-    from csdr_tpu.core.block import Block
-
-    def apply(state, x):
-        return box["blk"].apply(state, x)
-
-    pump(Block("bandpass", box["blk"].init, apply), "c", "c",
-         quantum=box["blk"].input_size, on_chunk=on_chunk)
+    pump(blk, "c", "c", quantum=blk.input_size, on_chunk=on_chunk)
 
 
 @command("peaks_fir_cc")
@@ -1217,20 +1215,12 @@ def _c_logpow(args):
 
 @command("logaveragepower_cf")
 def _c_logavg(args):
-    from csdr_tpu.core.block import Block
     from csdr_tpu.ops import spectrum
     add_db = _f(args, 0)
     n = _i(args, 1)
     avg = _i(args, 2)
-
-    def init():
-        return None
-
-    def apply(state, x):
-        sp = x.reshape(-1, n)
-        return state, spectrum.logaveragepower_cf(sp, add_db, avg).reshape(-1)
-
-    pump(Block("logavg", init, apply), "c", "f", quantum=n * avg)
+    pump(spectrum.logaveragepower_block(add_db, n, avg), "c", "f",
+         quantum=n * avg)
 
 
 @command("fft_exchange_sides_ff")
@@ -1614,7 +1604,7 @@ def _c_timing(args):
 @command("bpsk_costas_loop_cc")
 def _c_costas(args):
     from csdr_tpu.ops import sync
-    bw = _f(args, 0, 2 * np.pi / 100)
+    bw = _f(args, 0, 0.01)   # reference intent: omega = 2*pi*0.01 (libcsdr.c:2098)
     damping = _f(args, 1, 0.707)
     dd = "--dd" in args
     pump(sync.costas_block(bw, damping, dd), "c", "c")

@@ -100,6 +100,13 @@ class Pipeline:
         return tuple(b.init() for b in self.blocks)
 
     def apply(self, state: tuple, x: Any) -> tuple[tuple, Any]:
+        if len(state) != len(self.blocks):
+            # a silently-short zip would skip trailing blocks and return a
+            # mid-pipeline intermediate as the final output (e.g. a state
+            # checkpointed before a block was appended)
+            raise ValueError(
+                f"{self.name}: state has {len(state)} entries for "
+                f"{len(self.blocks)} blocks")
         new_states = []
         for b, s in zip(self.blocks, state):
             s, x = b.apply(s, x)

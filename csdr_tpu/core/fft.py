@@ -94,5 +94,9 @@ def next_pow2(x: int) -> int:
 
 
 def log2n(x: int) -> int:
+    """Exact log2 or -1 for non-powers-of-2 (reference libcsdr.c:1220-1228,
+    including x <= 0 -> -1 rather than a log-domain crash)."""
+    if x <= 0:
+        return -1
     l = int(np.log2(x))
     return l if (1 << l) == x else -1

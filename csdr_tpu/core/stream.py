@@ -51,7 +51,17 @@ class StreamRunner:
             else:
                 outs.append(np.asarray(y))
         if not outs:
-            return np.zeros((0,))
+            # no full block fit: preserve the pipeline's output dtype/rank
+            # by running one zero-filled block (cheap; avoids a float64
+            # empty that upcasts a later np.concatenate)
+            zeros = (np.zeros((n,), np.complex64) if host_is_complex
+                     else np.zeros((n,), x.dtype if len(x) else np.float32))
+            xin = cplx.from_numpy(zeros) if host_is_complex else zeros
+            _, y = self._apply(state, xin)
+            if isinstance(y, VarOut):
+                y = y.data
+            probe = cplx.to_numpy(y) if cplx.is_cf(y) else np.asarray(y)
+            return np.zeros((0,) + probe.shape[1:], probe.dtype)
         out = np.concatenate(outs)
         if drop_warmup:
             out = out[self._warmup_len():]

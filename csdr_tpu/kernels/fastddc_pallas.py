@@ -213,7 +213,8 @@ def fastddc_inv_vmem(spectra, tq, w1, d, rot, m_out: int, prec: str):
     bt, cb = tiles
     # interpret mode rides the jit cache key so an env toggle can never
     # silently reuse a trace of the other mode
-    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
+    from csdr_tpu.kernels.fft_pallas import interpret_mode
+    interp = interpret_mode()
     o_re, o_im = _inv_vmem(spectra.re, spectra.im, tq.re, tq.im,
                            rot.re, rot.im, d.re, d.im, jnp.asarray(w1),
                            pre, inv, m_out, bt, cb, prec, interp)

@@ -75,6 +75,21 @@ def supported(n: int, b: int) -> bool:
     return b > 0
 
 
+def interpret_mode() -> bool:
+    """CSDR_PALLAS_INTERPRET: run pallas kernels through the interpreter
+    (CPU test coverage).  "0" and "" mean OFF — consistent with
+    CSDR_FFT_KERNEL=0, unlike raw string truthiness."""
+    return os.environ.get("CSDR_PALLAS_INTERPRET", "") not in ("", "0")
+
+
+def use_kernel(n: int, b: int) -> bool:
+    """The gate every matmul-FFT consumer shares: TPU backend (or
+    interpret-mode testing) AND a plan supported() handles."""
+    import jax
+    return ((jax.default_backend() == "tpu" or interpret_mode())
+            and supported(n, b))
+
+
 def kernel_perm(n: int) -> np.ndarray:
     """perm with natural[k] = kernelorder[perm[k]] (numpy int32)."""
     t = n // LANE
@@ -393,7 +408,7 @@ def _run(x: CF, inverse: bool, precision: str) -> CF:
                                     precision)
     # interpret mode rides the jit cache key so an env toggle can never
     # silently reuse a trace of the other mode
-    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
+    interp = interpret_mode()
     yr, yi = _fft_pallas(xr, xi, jnp.asarray(fr), jnp.asarray(fi),
                          None if twr is None else jnp.asarray(twr),
                          None if twi is None else jnp.asarray(twi),

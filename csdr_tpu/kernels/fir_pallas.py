@@ -437,7 +437,8 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
     # interpret mode is part of the jit cache key: an env toggle must never
     # silently reuse a trace of the other mode
     import os
-    interp = bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
+    from csdr_tpu.kernels.fft_pallas import interpret_mode
+    interp = interpret_mode()
     yr, yi = _fir_decimate_vmem(xcat.re, xcat.im, jnp.asarray(w1),
                                 d, kout_pad, jb, prec_name, interp)
     return CF(yr[:kout], yi[:kout])

@@ -141,9 +141,7 @@ def fwd_fft_frames(frames: CF, spectra_order: str) -> CF:
         return cfft.fft(frames)
     from csdr_tpu.kernels import fft_pallas as fk
     n = frames.shape[-1]
-    if ((jax.default_backend() == "tpu"
-         or os.environ.get("CSDR_PALLAS_INTERPRET"))
-            and fk.supported(n, int(frames.shape[0]))):
+    if fk.use_kernel(n, int(frames.shape[0])):
         return fk.fft_ko(frames)
     g = jnp.asarray(_ko_gather_idx(n))
     s = cfft.fft(frames)
@@ -752,8 +750,8 @@ def _inv_factored2_dispatch(spectra, tq, d, w1, w_np, rot, m: int,
 
     b = spectra.shape[0]
     c = tq.re.shape[0]
-    if ((jax.default_backend() == "tpu"
-             or os.environ.get("CSDR_PALLAS_INTERPRET"))
+    from csdr_tpu.kernels.fft_pallas import interpret_mode
+    if ((jax.default_backend() == "tpu" or interpret_mode())
             and fpk.pick_tiles(b, c, tq.re.shape[1], tq.re.shape[2])
                 is not None):
         return fpk.fastddc_inv_vmem(spectra, tq, jnp.asarray(w1), d, rot, m,

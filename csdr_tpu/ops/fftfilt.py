@@ -57,11 +57,7 @@ def apply_fir_fft_cc_batch(x: CF, taps_fft: CF, input_size: int, carry: CF,
 
     fft_size = x.shape[-1]
     overlap = fft_size - input_size
-    use_kernel = (taps_fft_ko is not None
-                  and (jax.default_backend() == "tpu"
-                       or os.environ.get("CSDR_PALLAS_INTERPRET"))
-                  and fk.supported(fft_size, x.shape[0]))
-    if use_kernel:
+    if taps_fft_ko is not None and fk.use_kernel(fft_size, x.shape[0]):
         xf = fk.fft_ko(x)
         yf = xf * taps_fft_ko
         yk = fk.ifft_ko(yf)
@@ -104,28 +100,46 @@ def apply_fir_fft_cc_batch(x: CF, taps_fft: CF, input_size: int, carry: CF,
     return emit, new_carry
 
 
-def bandpass_fir_fft_block(low_cut: float, high_cut: float, transition_bw: float,
-                           window: str = firdes.WINDOW_DEFAULT,
-                           name: str = "bandpass_fir_fft_cc") -> Block:
-    """Streaming overlap-add complex bandpass.  Chunk must be a multiple of
-    input_size; output length == input length (rate preserving)."""
+def bandpass_taps_spectra(transition_bw: float, low_cut: float,
+                          high_cut: float,
+                          window: str = firdes.WINDOW_DEFAULT):
+    """Device taps spectra for one band: (taps_fft CF (fft,), taps_fft_ko
+    CF|None).  The ko form is the matmul-FFT kernel's bin order
+    (H_ko[perm] = H_nat); None when the kernel doesn't support the plan."""
     taps_length = firdes.firdes_filter_len(transition_bw)
-    fft_size, input_size, overlap = fftfilt_plan(taps_length)
+    fft_size, _input_size, _overlap = fftfilt_plan(taps_length)
     taps = firdes.firdes_bandpass_c(taps_length, low_cut, high_cut, window)
     tf = _taps_fft(taps, fft_size)
     taps_fft = CF(jnp.asarray(tf.real), jnp.asarray(tf.imag))
-    # taps spectrum in the matmul-FFT kernel's bin order: H_ko[perm] = H_nat
     from csdr_tpu.kernels.fft_pallas import kernel_perm, supported
     taps_fft_ko = None
     if supported(fft_size, 1):
         tko = np.empty_like(tf)
         tko[kernel_perm(fft_size)] = tf
         taps_fft_ko = CF(jnp.asarray(tko.real), jnp.asarray(tko.imag))
+    return taps_fft, taps_fft_ko
+
+
+def bandpass_fir_fft_block(low_cut: float, high_cut: float, transition_bw: float,
+                           window: str = firdes.WINDOW_DEFAULT,
+                           name: str = "bandpass_fir_fft_cc") -> Block:
+    """Streaming overlap-add complex bandpass.  Chunk must be a multiple of
+    input_size; output length == input length (rate preserving).
+
+    The taps spectra ride the STATE pytree (traced arguments), so a FIFO
+    retune (cli bandpass_fir_fft_cc --fifo) swaps them via
+    bandpass_taps_spectra without retracing — as a closure constant the
+    jitted graph would keep the original band forever."""
+    taps_length = firdes.firdes_filter_len(transition_bw)
+    fft_size, input_size, overlap = fftfilt_plan(taps_length)
+    taps_fft, taps_fft_ko = bandpass_taps_spectra(
+        transition_bw, low_cut, high_cut, window)
 
     def init():
-        return CF.zeros((overlap,))
+        return (CF.zeros((overlap,)), taps_fft, taps_fft_ko)
 
-    def apply(carry, x):
+    def apply(state, x):
+        carry, tfft, tfft_ko = state
         n = x.shape[0]
         assert n % input_size == 0, f"chunk {n} % input_size {input_size} != 0"
         b = n // input_size
@@ -133,9 +147,9 @@ def bandpass_fir_fft_block(low_cut: float, high_cut: float, transition_bw: float
         z = jnp.zeros((b, fft_size - input_size), jnp.float32)
         frames = CF(jnp.concatenate([frames.re, z], axis=1),
                     jnp.concatenate([frames.im, z], axis=1))
-        y, carry = apply_fir_fft_cc_batch(frames, taps_fft, input_size, carry,
-                                          taps_fft_ko=taps_fft_ko)
-        return carry, y.reshape(-1)
+        y, carry = apply_fir_fft_cc_batch(frames, tfft, input_size, carry,
+                                          taps_fft_ko=tfft_ko)
+        return (carry, tfft, tfft_ko), y.reshape(-1)
 
     blk = Block(name, init, apply)
     # expose sizing for chunk planning (CLI layer / models); Block is a

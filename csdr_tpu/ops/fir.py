@@ -293,7 +293,7 @@ def rational_resampler_block(taps, interpolation: int, decimation: int,
     i_, d_ = interpolation, decimation
     s = (t - 1) // i_ + 1                      # frame length
     shift_out = -(-s * i_ // d_)               # output delay (samples)
-    pmat_j = jnp.asarray(_resampler_phase_matrix(taps_np, i_))
+    pmat_np = _resampler_phase_matrix(taps_np, i_)
 
     def _S(m):
         return (m * d_ + i_ - 1) // i_
@@ -318,8 +318,7 @@ def rational_resampler_block(taps, interpolation: int, decimation: int,
         assert xidx.min() >= 0 and xidx.max() + s - 1 < tail_len + n
         kmax = -(-nout // i_)
         starts = xidx[:i_]                               # (I,)
-        taps_sel = _resampler_phase_matrix(taps_np, i_)[
-            _delay(m[:i_]).astype(np.int64)]             # (I, S)
+        taps_sel = pmat_np[_delay(m[:i_]).astype(np.int64)]  # (I, S)
         lw = (kmax - 1) * d_ + s
         pad = max(0, int(starts.max()) + lw - (tail_len + n))
         return tail_len, starts, taps_sel, kmax, lw, pad, nout

@@ -30,8 +30,9 @@ def log_ff(x, add_db: float = 0.0):
 
 
 def total_logpower_cf(x: CF):
-    """10*log10(mean power) (reference libcsdr.c:1315-1321)."""
-    return 10.0 * jnp.log10(jnp.sum(x.abs2()) / x.shape[0])
+    """10*log10(mean power) (reference libcsdr.c:1315-1321; mean over ALL
+    elements — a batched (B, fft) input divides by B*fft, not B)."""
+    return 10.0 * jnp.log10(jnp.sum(x.abs2()) / x.re.size)
 
 
 def fft_exchange_sides_ff(x):
@@ -104,22 +105,25 @@ def _fft_batched(frames: CF) -> CF:
 
     n = frames.shape[-1]
     b = int(frames.shape[0]) if frames.re.ndim > 1 else 1
-    if ((jax.default_backend() == "tpu"
-         or os.environ.get("CSDR_PALLAS_INTERPRET"))
-            and fk.supported(n, b)):
+    if fk.use_kernel(n, b):
         return fk.fft_natural(frames)
     return cfft.fft(frames)
 
 
-def fft_fc_block(fft_size: int, every_n_samples: int,
+def fft_fc_block(fft_out_size: int, every_n_samples: int,
                  window: str = firdes.WINDOW_DEFAULT) -> Block:
-    """Real-input variant (reference csdr.c:3414-3498): window the real
-    frame, full-size complex FFT (callers usually keep one side)."""
-    blk = fft_cc_block(fft_size, every_n_samples, window)
+    """Real-input variant (reference csdr.c:3414-3498).  The parameter is
+    the number of OUTPUT bins: each frame consumes 2*fft_out_size real
+    samples and emits the positive-frequency half of the windowed
+    2N-point FFT ("This makes it easier to replace fft_cc by fft_fc in
+    some applications" — the output row width matches fft_cc's)."""
+    blk = fft_cc_block(2 * fft_out_size, every_n_samples, window)
 
     def apply(tail, x):
-        return blk.apply(tail, CF(jnp.asarray(x, jnp.float32),
-                                  jnp.zeros_like(x, jnp.float32)))
+        st, spectra = blk.apply(tail, CF(jnp.asarray(x, jnp.float32),
+                                         jnp.zeros_like(x, jnp.float32)))
+        return st, CF(spectra.re[..., :fft_out_size],
+                      spectra.im[..., :fft_out_size])
 
     return Block("fft_fc", blk.init, apply)
 
@@ -135,11 +139,14 @@ def logaveragepower_cf(spectra: CF, add_db: float, avgnumber: int):
 
 
 def logaveragepower_block(add_db: float, fft_size: int, avgnumber: int) -> Block:
+    """Flat-sample form (what the CLI pumps): reshapes the chunk to
+    (B, fft_size) rows, averages groups of ``avgnumber``, emits flat."""
     def init():
         return None
 
-    def apply(state, spectra):
-        return state, logaveragepower_cf(spectra, add_db, avgnumber)
+    def apply(state, x):
+        sp = x.reshape(-1, fft_size)
+        return state, logaveragepower_cf(sp, add_db, avgnumber).reshape(-1)
 
     return Block("logaveragepower_cf", init, apply)
 

@@ -142,7 +142,7 @@ def bpsk_costas_loop_cc(x: CF, alpha, beta, dphase_max,
     return CF(yr, yi), err, dph, carry
 
 
-def costas_block(bandwidth: float = 2 * np.pi / 100, damping: float = 0.707,
+def costas_block(bandwidth: float = 0.01, damping: float = 0.707,
                  decision_directed: bool = False) -> Block:
     alpha, beta, dmax = costas_loop_params(bandwidth, damping)
 
@@ -197,6 +197,23 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
         if state is None:
             state = _mk(n)
         buf, occ, corr0 = state
+        bufsize = buf.re.shape[0]
+        # saturation guard: a railed loop advances only nsb-|corr| per
+        # symbol (down to nsb/2 at the default max_error*loop_gain), so the
+        # cap-bounded scan can consume less than arrives.  Rather than let
+        # the write below clamp (silent stream corruption), drop the OLDEST
+        # buffered samples — the framework-wide overload policy; a loop
+        # railed that hard is unlocked anyway, and the carry stays coherent
+        # for recovery.
+        drop = jnp.maximum(occ + n - bufsize, 0)
+        buf = CF(
+            jax.lax.dynamic_slice(
+                jnp.concatenate([buf.re, jnp.zeros_like(buf.re)]),
+                (drop,), (bufsize,)),
+            jax.lax.dynamic_slice(
+                jnp.concatenate([buf.im, jnp.zeros_like(buf.im)]),
+                (drop,), (bufsize,)))
+        occ = occ - drop
         buf = CF(jax.lax.dynamic_update_slice(buf.re, x.re, (occ,)),
                  jax.lax.dynamic_update_slice(buf.im, x.im, (occ,)))
         size = occ + n

@@ -150,10 +150,22 @@ class DdcdServer:
             def one(xre, xim, rate, phase, tail_re, tail_im):
                 xcat = CF(jnp.concatenate([tail_re, xre]),
                           jnp.concatenate([tail_im, xim]))
-                y, nphase = shift_ops.shift_cc(xcat, rate, phase)
+                # the carried phase is the NCO phase at the TAIL's first
+                # sample: the overlap re-shifts at its original phases and
+                # the carry advances by only the n NEW samples (advancing
+                # by tail_len+n would jump the output phase tail_len*rate
+                # cycles every chunk — same convention as shift_block)
+                y, _ = shift_ops.shift_cc(xcat, rate, phase)
                 dec = fir.fir_decimate_cc(y, taps_j, decimation)
                 n = xre.shape[0]
-                return dec.re, dec.im, nphase, xcat.re[n:], xcat.im[n:]
+                k = n // decimation
+                # valid-mode emits n/D+1 outputs when (T-1) % D != 0; the
+                # extra one duplicates the next chunk's first output (same
+                # slice as fir_decimate_block, ops/fir.py)
+                nphase = shift_ops._wrap_phase(
+                    phase + 2.0 * np.pi * ((n * rate) % 1.0))
+                return (dec.re[:k], dec.im[:k], nphase,
+                        xcat.re[n:], xcat.im[n:])
 
             def step(state, x, rates):
                 phases, tails = state
@@ -187,16 +199,12 @@ class DdcdServer:
 
     def _release(self, cl: _Client):
         with self.lock:
-            self.clients.pop(id(cl), None)
-            if self.method == "fastddc":
-                if self.factored:
-                    self.tq_np[cl.slot] = 0.0
-                    self.d_np[cl.slot] = 0.0
-                else:
-                    w = self._block_cols
-                    self.fold_np[..., cl.slot * w:(cl.slot + 1) * w] = 0.0
-            self.rate_np[cl.slot] = 0.0
-            self.dirty = True
+            # idempotent: both the rx and tx threads call this on a normal
+            # disconnect; only the FIRST caller (which still finds cl in the
+            # registry) zeroes the slot — by the second call the slot may
+            # already belong to a NEW client, which must not lose its tune
+            if self.clients.pop(id(cl), None) is not None:
+                self._zero_slot_locked(cl.slot)
         cl.stop()
 
     def _set_shift_locked(self, slot: int, rate: float):
@@ -317,6 +325,35 @@ class DdcdServer:
         di = np.asarray(data.im)
         return dr, di, np.asarray(counts)
 
+
+    # ---- shared device-loop plumbing --------------------------------------
+
+    def _chunks(self, stdin):
+        """Yield (x complex64 ndarray, raw bytes) whole input chunks; stops
+        at EOF / short read (both fronts share this framing)."""
+        bytes_per = 8
+        pending = b""
+        while True:
+            data = stdin.read(self.chunk_in * bytes_per - len(pending))
+            if not data:
+                return
+            pending += data
+            if len(pending) < self.chunk_in * bytes_per:
+                continue
+            x = np.frombuffer(pending, np.complex64)
+            raw = pending
+            pending = b""
+            yield x, raw
+
+    @staticmethod
+    def _slot_payload(dr, di, counts, slot: int) -> bytes:
+        """Interleave one slot's decimated output as f32 I/Q bytes."""
+        n = int(counts[slot])
+        out = np.empty((n, 2), np.float32)
+        out[:, 0] = dr[slot, :n]
+        out[:, 1] = di[slot, :n]
+        return out.tobytes()
+
     def serve(self, stdin=None, input_url: str | None = None):
         """input_url: 'tcp://host:port' connects the wideband input to a
         remote stream (e.g. an nmux server) instead of stdin — the
@@ -326,6 +363,9 @@ class DdcdServer:
             assert input_url.startswith("tcp://"), input_url
             host, port = input_url[6:].rsplit(":", 1)
             insock = socket.create_connection((host, int(port)), timeout=30)
+            insock.settimeout(None)   # 30 s is the CONNECT timeout only: a
+            # lingering recv timeout would crash serve() on any >30 s input
+            # stall (source retune, upstream hiccup)
             stdin = insock.makefile("rb")
         stdin = stdin or sys.stdin.buffer
         lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -338,31 +378,14 @@ class DdcdServer:
             f"chunk={self.chunk_in}\n")
         threading.Thread(target=self._accept_loop, args=(lsock,),
                          daemon=True).start()
-        bytes_per = 8
-        pending = b""
         try:
-            while True:
-                data = stdin.read(self.chunk_in * bytes_per - len(pending))
-                if not data:
-                    break
-                pending += data
-                if len(pending) < self.chunk_in * bytes_per:
-                    continue
-                x = np.frombuffer(pending, np.complex64)
-                raw = pending
-                pending = b""
+            for x, raw in self._chunks(stdin):
                 dr, di, counts = self._run_chunk(x)
                 with self.lock:
                     clients = list(self.clients.values())
                 for cl in clients:
-                    if cl.bypass:
-                        cl.push(raw)
-                        continue
-                    n = int(counts[cl.slot])
-                    out = np.empty((n, 2), np.float32)
-                    out[:, 0] = dr[cl.slot, :n]
-                    out[:, 1] = di[cl.slot, :n]
-                    cl.push(out.tobytes())
+                    cl.push(raw if cl.bypass
+                            else self._slot_payload(dr, di, counts, cl.slot))
         finally:
             self.running = False
             lsock.close()
@@ -389,6 +412,9 @@ class DdcdServer:
             assert input_url.startswith("tcp://"), input_url
             host, port = input_url[6:].rsplit(":", 1)
             insock = socket.create_connection((host, int(port)), timeout=30)
+            insock.settimeout(None)   # 30 s is the CONNECT timeout only: a
+            # lingering recv timeout would crash serve() on any >30 s input
+            # stall (source retune, upstream hiccup)
             stdin = insock.makefile("rb")
         stdin = stdin or sys.stdin.buffer
         front = subprocess.Popen(
@@ -402,7 +428,14 @@ class DdcdServer:
                 parts = raw.decode(errors="replace").strip().split(" ", 2)
                 if len(parts) < 2:
                     continue
-                ev, slot = parts[0], int(parts[1])
+                try:
+                    ev, slot = parts[0], int(parts[1])
+                except ValueError:
+                    # one malformed front line must not kill the events
+                    # thread (it would silently freeze connect/retune/close
+                    # handling while the device loop keeps streaming)
+                    sys.stderr.write(f"ddcd: bad front event {raw!r}\n")
+                    continue
                 if ev == "connect":
                     with self.lock:
                         self._set_shift_locked(slot, 0.0)
@@ -428,31 +461,14 @@ class DdcdServer:
                                 active[slot] = line[7:].strip() == "1"
 
         threading.Thread(target=events, daemon=True).start()
-        bytes_per = 8
-        pending = b""
         try:
-            while True:
-                data = stdin.read(self.chunk_in * bytes_per - len(pending))
-                if not data:
-                    break
-                pending += data
-                if len(pending) < self.chunk_in * bytes_per:
-                    continue
-                x = np.frombuffer(pending, np.complex64)
-                raw = pending
-                pending = b""
+            for x, raw in self._chunks(stdin):
                 dr, di, counts = self._run_chunk(x)
                 with self.lock:
                     snapshot = dict(active)
                 for slot, bypass in snapshot.items():
-                    if bypass:
-                        payload = raw
-                    else:
-                        n = int(counts[slot])
-                        out = np.empty((n, 2), np.float32)
-                        out[:, 0] = dr[slot, :n]
-                        out[:, 1] = di[slot, :n]
-                        payload = out.tobytes()
+                    payload = (raw if bypass
+                               else self._slot_payload(dr, di, counts, slot))
                     try:
                         front.stdin.write(
                             struct.pack("<II", slot, len(payload)) + payload)

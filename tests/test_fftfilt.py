@@ -6,6 +6,7 @@ import pytest
 
 from csdr_tpu import firdes
 from csdr_tpu.ops import fftfilt
+from csdr_tpu.core import cplx
 from tests.util import assert_snr, cplx_noise, to_dev, to_host
 
 
@@ -93,3 +94,32 @@ def test_wide_taps_overlap_exceeds_input(monkeypatch, env):
     ours = np.concatenate([to_host(y1), to_host(y2)])
     full = np.convolve(x, taps)[: n]
     assert_snr(full[t:], ours[t:], 85, "wide-taps bandpass vs direct conv")
+
+
+def test_bandpass_retune_reaches_jitted_apply():
+    """The taps spectra ride the state pytree: swapping them (the CLI FIFO
+    retune) must change the output of an ALREADY-JITTED apply.  Pre-fix the
+    taps were closure constants and the retune was a silent no-op."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    blk = fftfilt.bandpass_fir_fft_block(0.05, 0.15, 0.05)
+    n = 4 * blk.input_size
+    x = cplx.from_numpy((rng.standard_normal(n)
+                         + 1j * rng.standard_normal(n)).astype(np.complex64))
+    japply = jax.jit(blk.apply)
+    st = blk.init()
+    _, y_old = japply(st, x)
+    # retune to a disjoint band through the SAME jitted callable
+    tfft, tko = fftfilt.bandpass_taps_spectra(0.05, -0.4, -0.3)
+    st2 = (st[0], tfft, tko if tko is not None else st[2])
+    _, y_new = japply(st2, x)
+    # reference: a freshly-built block at the new band
+    blk2 = fftfilt.bandpass_fir_fft_block(-0.4, -0.3, 0.05)
+    _, y_ref = blk2.apply(blk2.init(), x)
+    old = cplx.to_numpy(y_old)
+    new = cplx.to_numpy(y_new)
+    ref = cplx.to_numpy(y_ref)
+    assert not np.allclose(new, old, atol=1e-5), "retune was a no-op"
+    np.testing.assert_allclose(new.real, ref.real, atol=1e-4)
+    np.testing.assert_allclose(new.imag, ref.imag, atol=1e-4)

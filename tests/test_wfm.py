@@ -123,3 +123,57 @@ def test_wfm_basic_end_to_end():
     m = min(len(ref), len(ours))
     assert m > 8000
     assert_snr(ref[:m], ours[:m], 60, "WFM basic chain")
+
+
+def test_rational_decimator_backlog_drains():
+    """rate 2.4 fed 246-sample chunks: den-quantized emission leaves up to
+    den-1 outputs buffered; the capacity must allow draining that backlog
+    on the next chunk or occupancy grows until the carry buffer silently
+    clamps (reproduced pre-fix: divergence from output 402)."""
+    import jax.numpy as jnp
+    from csdr_tpu.ops.resamp import fractional_decimator_block
+
+    rng = np.random.default_rng(3)
+    x = (0.3 * rng.standard_normal(246 * 40)).astype(np.float32)
+    # golden: generic path, one shot
+    gold_blk = fractional_decimator_block(2.4, rational=False)
+    _, gold = gold_blk.apply(gold_blk.init(), jnp.asarray(x))
+    g = np.asarray(gold.data)[: int(gold.count)]
+    # streamed rational path in 246-sample chunks
+    blk = fractional_decimator_block(2.4)
+    st = blk.init()
+    outs = []
+    for i in range(40):
+        st, out = blk.apply(st, jnp.asarray(x[i * 246:(i + 1) * 246]))
+        outs.append(np.asarray(out.data)[: int(out.count)])
+        occ = int(st[1])
+        assert occ <= st[0].shape[0], "carry buffer overflow"
+    y = np.concatenate(outs)
+    m = min(len(y), len(g))
+    assert m > 3500, m
+    # the two paths differ only in Lagrange-weight arithmetic (exact f64
+    # host constants vs f32 on device); corruption pre-fix was O(1)
+    assert_snr(g[:m], y[:m], 55, "rational stream vs generic one-shot")
+
+
+def test_fractional_decimator_short_first_chunk_state():
+    """A first chunk too short to emit must not desync occ/where
+    (input_processed went to -1 pre-fix)."""
+    import jax.numpy as jnp
+    from csdr_tpu.ops.resamp import fractional_decimator_block
+
+    rng = np.random.default_rng(4)
+    x = (0.3 * rng.standard_normal(400)).astype(np.float32)
+    gold_blk = fractional_decimator_block(5.0, rational=False)
+    _, gold = gold_blk.apply(gold_blk.init(), jnp.asarray(x))
+    g = np.asarray(gold.data)[: int(gold.count)]
+    blk = fractional_decimator_block(5.0, rational=False)
+    st = blk.init()
+    outs = []
+    for i in range(40):                  # constant 10-sample chunks; the
+        st, out = blk.apply(st, jnp.asarray(x[i * 10:(i + 1) * 10]))
+        outs.append(np.asarray(out.data)[: int(out.count)])
+    y = np.concatenate(outs)
+    m = min(len(y), len(g))
+    assert m > 60
+    np.testing.assert_allclose(y[:m], g[:m], rtol=0, atol=2e-4)
