@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -192,6 +193,37 @@ def _probe_device(max_wait_s: float = 480.0) -> bool:
     return False
 
 
+def _apply_onchip_gates():
+    """Pallas kernel families that have never run on real silicon default
+    OFF on the real TPU: a bad Mosaic kernel can wedge the axon worker for
+    10-40+ min (CLAUDE.md "known wedgers") and the driver runs this bench
+    unattended — losing every secondary after the wedge.
+    bench_onchip_checklist.py writes ONCHIP_VALIDATED.json as its stages
+    pass; once the marker certifies a family (stage 1 = matmul-FFT kernel
+    goldens, stage 3 = axon golden suite incl. the fastddc vmem inverse),
+    the gate lifts.  An explicit CSDR_FFT_KERNEL / CSDR_FASTDDC_KERNEL in
+    the environment always wins.  The validated fallbacks (Stockham FFT,
+    XLA factored-v2 inverse) carry the mid-r2 measured numbers."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return
+    marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "ONCHIP_VALIDATED.json")
+    passed: set = set()
+    try:
+        with open(marker) as f:
+            passed = set(json.load(f).get("stages_passed", []))
+    except Exception:  # noqa: BLE001 — absent/corrupt marker = not validated
+        pass
+    for var, need in (("CSDR_FFT_KERNEL", 1), ("CSDR_FASTDDC_KERNEL", 3)):
+        if var not in os.environ and need not in passed:
+            os.environ[var] = "0"
+            sys.stderr.write(
+                f"bench: {var}=0 — kernel family not yet certified on this "
+                "chip (run bench_onchip_checklist.py to write "
+                "ONCHIP_VALIDATED.json)\n")
+
+
 def main():
     import os
     import jax
@@ -199,6 +231,7 @@ def main():
     # JAX_PLATFORMS (e.g. cpu smoke runs) the same way cli.main does
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    _apply_onchip_gates()
     if jax.default_backend() == "tpu" and not _probe_device(1800.0):
         # Record the outage honestly rather than leaving no line at all:
         # the driver keeps the last stdout JSON line.  value=null marks
@@ -334,8 +367,9 @@ def main():
                 # e.g. a Mosaic compile failure on a kernel path: retry on
                 # the validated Stockham fallback rather than losing the row
                 sys.stderr.write(f"bench: {key} failed; retrying with "
-                                 "CSDR_FFT_KERNEL=0\n")
-                v = attempt({"CSDR_FFT_KERNEL": "0"})
+                                 "CSDR_FFT_KERNEL=0 CSDR_FASTDDC_KERNEL=0\n")
+                v = attempt({"CSDR_FFT_KERNEL": "0",
+                             "CSDR_FASTDDC_KERNEL": "0"})
             line = {"metric": name, "value": round(v, 1),
                     "unit": "complex Msamples/s/chip"}
             for k, f in extra.items():

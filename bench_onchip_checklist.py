@@ -22,9 +22,33 @@ Writes per-stage logs to /tmp/onchip_stage<N>.log and a summary line each.
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import subprocess
 import sys
 import time
+
+MARKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "ONCHIP_VALIDATED.json")
+
+
+def record_pass(num: int) -> None:
+    """Append a passed stage to ONCHIP_VALIDATED.json.  bench.py reads this
+    marker to decide whether the never-run-on-silicon pallas kernel
+    families may run in the unattended driver bench (stage 1 certifies the
+    matmul-FFT kernel, stage 3 the fastddc vmem inverse)."""
+    passed: list = []
+    try:
+        with open(MARKER) as f:
+            passed = json.load(f).get("stages_passed", [])
+    except Exception:  # noqa: BLE001
+        pass
+    if num not in passed:
+        passed = sorted(set(passed) | {num})
+    with open(MARKER, "w") as f:
+        json.dump({"stages_passed": passed,
+                   "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}, f)
+        f.write("\n")
 
 STAGE1_BODY = r"""
 import numpy as np
@@ -120,6 +144,7 @@ def main():
             print(f"stopping at failed stage {num} (a wedged worker needs "
                   "10-40 min; re-run with --from {num} later)", flush=True)
             return 1
+        record_pass(num)
     return 0
 
 

@@ -39,6 +39,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def kernel_enabled() -> bool:
+    """CSDR_FASTDDC_KERNEL=0 disables the VMEM factored-v2 inverse kernel
+    globally: fastddc_inv_channel_bank falls back to the XLA factored-v2
+    path (same linear map, same state pytree).  Mirrors CSDR_FFT_KERNEL —
+    bench.py flips both off when the on-chip validation marker
+    (ONCHIP_VALIDATED.json) is absent, so a never-run-on-silicon Mosaic
+    kernel cannot wedge the driver bench.  Set BEFORE building plans;
+    flipping mid-process leaves already-jitted callables on their path."""
+    return os.environ.get("CSDR_FASTDDC_KERNEL", "1") != "0"
+
+
 def _inv_kernel(s_re, s_im, tq_re, tq_im, rot_re, rot_im, d_re, d_im,
                 w_ref, o_re, o_im, *, pre, inv, cb, bt, m_out, prec):
     # fold: Z[c,b,m] = sum_j S[b, j*inv+m] * TQ[c,j,m]   (complex, f32 VPU)

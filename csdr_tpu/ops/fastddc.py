@@ -600,7 +600,8 @@ def fastddc_inv_block(ddc: FastDDC, shift_rates, frames_per_chunk: int = 32,
     if ddc.post_input_size % ddc.post_decimation == 0:
         assert spectra_order == "natural", \
             "divisible-post configs run the fused channelizer instead"
-        if jax.default_backend() == "tpu":
+        from csdr_tpu.kernels.fastddc_pallas import kernel_enabled
+        if jax.default_backend() == "tpu" and kernel_enabled():
             return _fastddc_inv_vmem_block(ddc, rates)
         return _fastddc_inv_fused_block(ddc, rates)
     return _fastddc_inv_classed_block(ddc, rates, spectra_order)
