@@ -203,7 +203,7 @@ def _apply_onchip_gates():
     goldens, stage 3 = axon golden suite incl. the fastddc vmem inverse),
     the gate lifts.  An explicit CSDR_FFT_KERNEL / CSDR_FASTDDC_KERNEL in
     the environment always wins.  The validated fallbacks (Stockham FFT,
-    XLA factored-v2 inverse) carry the mid-r2 measured numbers."""
+    fused dense-matrix inverse) carry the mid-r2 measured numbers."""
     import jax
     if jax.default_backend() != "tpu":
         return

@@ -41,8 +41,9 @@ def _round_up(x: int, m: int) -> int:
 
 def kernel_enabled() -> bool:
     """CSDR_FASTDDC_KERNEL=0 disables the VMEM factored-v2 inverse kernel
-    globally: fastddc_inv_channel_bank falls back to the XLA factored-v2
-    path (same linear map, same state pytree).  Mirrors CSDR_FFT_KERNEL —
+    globally: fastddc_inv_block falls back to the fused dense-matrix
+    inverse (same linear map, the mid-r2 measured configuration).
+    Mirrors CSDR_FFT_KERNEL —
     bench.py flips both off when the on-chip validation marker
     (ONCHIP_VALIDATED.json) is absent, so a never-run-on-silicon Mosaic
     kernel cannot wedge the driver bench.  Set BEFORE building plans;
