@@ -1392,12 +1392,16 @@ def _c_vc_dec(args):
     import jax.numpy as jnp
 
     def init():
-        return jnp.zeros((13,), jnp.int32)  # max window - 1 history bits
+        # ones = the op's own start-of-stream padding (cannot satisfy the
+        # 00 framing), so chunked output == one-shot decode exactly
+        return jnp.ones((13,), jnp.int32)  # max window - 1 history bits
 
     def apply(tail, x):
         xcat = jnp.concatenate([tail, jnp.asarray(x, jnp.int32)])
-        out = digital.psk31_varicode_decoder_u8_u8(xcat)
-        # drop matches that ended within the tail region (already emitted)
+        # skip=13: matches ending inside the carried tail were already
+        # emitted by the previous chunk (one duplicate char per boundary
+        # before this guard — caught by tests/test_chunk_invariance.py)
+        out = digital.psk31_varicode_decoder_u8_u8(xcat, skip=13)
         return xcat[-13:], out
 
     pump(Block("vcdec", init, apply), "u8", "u8")

@@ -89,30 +89,40 @@ def simple_agc_block(rate: float, reference: float = 1.0, max_gain: float = 6553
 
 def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.0,
            hang_time=200, attack_wait_time=0, gain_filter_alpha=0.999,
-           last_gain=1.0, last_hang=0, full_state=False):
+           last_gain=1.0, last_hang=0, last_peak=None, last_awc=0,
+           started=False, full_state=False):
     """Full AGC with hang/attack-wait and gain IIR
     (reference libcsdr_gpl.c:163-260), as a lax.scan.
 
-    Returns (y, next_gain), or (y, next_gain, next_hang) with
-    full_state=True — thread last_hang too for chunk-size-invariant
-    streaming (the reference's buffer-local hang counter resets every
-    call, an artifact of its C locals; agc_block carries it like the
-    chunked path so both methods agree across chunk boundaries).
-    Matches the reference sample-for-sample, including the quirk that
-    output[0] is last_gain*input[0] and the "dc-pass" gain filter
-    y_gain = gain + last_gain - alpha*last_gain.
+    Returns (y, next_gain), or (y, next_gain, next_hang, next_peak,
+    next_awc) with full_state=True.  Streaming callers thread ALL of it
+    plus ``started=True`` after the first chunk, which makes the output
+    chunk-size-INVARIANT (tests/test_chunk_invariance.py).  Documented
+    deviation: the reference resets hang/attack-wait/last_peak and skips
+    the first sample of EVERY buffer (its loop starts at i=1 with
+    buffer-local C counters, libcsdr_gpl.c:190-198), so its output
+    depends on the buffer size; here those artifacts apply only at the
+    true stream start (one-shot calls — the golden-test configuration —
+    are bit-identical to the reference).
+    Matches the reference sample-for-sample otherwise, including the
+    quirk that output[0] is last_gain*input[0] and the "dc-pass" gain
+    filter y_gain = gain + last_gain - alpha*last_gain.
     """
     x = x.astype(jnp.float32)
-    if x.shape[0] <= 1:
-        # degenerate EOF chunks: emit with last_gain, state unchanged
-        # (mirrors agc_ff_chunked's n<=1 guard; x[1:] would be an empty
-        # scan and x[0] an out-of-bounds read at n=0)
-        y = jnp.asarray(last_gain, jnp.float32) * x
-        g0 = jnp.asarray(last_gain, jnp.float32)
-        return (y, g0, jnp.asarray(last_hang, jnp.int32)) if full_state \
-            else (y, g0)
+    g0 = jnp.asarray(last_gain, jnp.float32)
+    h0 = jnp.asarray(last_hang, jnp.int32)
+    p0 = (jnp.asarray(reference / last_gain, jnp.float32)
+          if last_peak is None else jnp.asarray(last_peak, jnp.float32))
+    a0 = jnp.asarray(last_awc, jnp.int32)
+    if x.shape[0] == 0:
+        return (x, g0, h0, p0, a0) if full_state else (x, g0)
+    # the first-sample skip as a per-sample flag (state-driven, so the
+    # jitted graph is identical for first and continuation chunks)
+    sk_vec = (jnp.arange(x.shape[0]) == 0) & jnp.logical_not(
+        jnp.asarray(started, bool))
 
-    def step(carry, xi):
+    def step(carry, xs):
+        xi, sk = xs
         gain, last_gain_s, last_peak, hang_counter, attack_wait_counter = carry
         input_abs = jnp.abs(xi)
         error = reference / input_abs - gain
@@ -145,29 +155,29 @@ def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.
         gain_n = jnp.where(nz, gain + dgain, gain)
         gain_n = jnp.clip(gain_n, 0.0, max_gain)
         gain_filt = gain_n + last_gain_s - gain_filter_alpha * last_gain_s
-        y = gain_filt * xi
+        # skipped sample (stream start): emit with the carried gain,
+        # state unchanged (reference output[0] = last_gain*input[0])
+        y = jnp.where(sk, gain * xi, gain_filt * xi)
+        gain_filt = jnp.where(sk, gain, gain_filt)
+        peak_n = jnp.where(sk, last_peak, peak_n)
+        hang_counter_n = jnp.where(sk, hang_counter, hang_counter_n)
+        awc_n = jnp.where(sk, attack_wait_counter, awc_n)
         return (gain_filt, gain_filt, peak_n, hang_counter_n, awc_n), y
 
-    init_carry = (
-        jnp.asarray(last_gain, jnp.float32),
-        jnp.asarray(last_gain, jnp.float32),
-        jnp.asarray(reference / last_gain, jnp.float32),
-        jnp.asarray(last_hang, jnp.int32),
-        jnp.int32(0),
-    )
-    # reference skips sample 0: output[0] = last_gain*input[0]
-    carry, y_rest = jax.lax.scan(step, init_carry, x[1:], unroll=32)
-    y0 = jnp.asarray(last_gain, jnp.float32) * x[0]
-    y = jnp.concatenate([jnp.reshape(y0, (1,)), y_rest])
-    return (y, carry[0], carry[3]) if full_state else (y, carry[0])
+    init_carry = (g0, g0, p0, h0, a0)
+    carry, y = jax.lax.scan(step, init_carry, (x, sk_vec), unroll=32)
+    return ((y, carry[0], carry[3], carry[2], carry[4]) if full_state
+            else (y, carry[0]))
 
 
 def agc_block(method: str = "chunked", **params) -> Block:
     """agc_ff as a streaming Block.  method='chunked' (default) uses the
     waveform-relaxation form (~12x the scan's throughput, matches the scan
     within float-reordering, verified per chunk); method='scan' is the
-    bit-faithful sequential reference path.  Both methods carry
-    (gain, hang) across chunks, so they agree across chunk boundaries."""
+    bit-faithful sequential reference path.  Both methods carry the FULL
+    recurrence state (gain, hang, and for scan peak/attack-wait) plus a
+    ``started`` flag, so streamed output is chunk-size-invariant and the
+    two methods agree across chunk boundaries."""
     if method == "chunked":
         assert params.get("attack_wait_time", 0) == 0, \
             "chunked agc supports attack_wait_time=0 only; use method='scan'"
@@ -177,29 +187,37 @@ def agc_block(method: str = "chunked", **params) -> Block:
             "(the reference's operating domain); use method='scan'"
 
         def init():
-            return (jnp.float32(params.get("last_gain", 1.0)), jnp.int32(0))
+            return (jnp.float32(params.get("last_gain", 1.0)), jnp.int32(0),
+                    jnp.bool_(False))
 
         def apply(state, x):
-            gain, hang = state
+            gain, hang, started = state
             p = dict(params)
             p.pop("attack_wait_time", None)
             p["last_gain"] = gain
             p["last_hang"] = hang
-            y, gain, hang, _conv = agc_ff_chunked(x, **p)
-            return (gain, hang), y
+            y, gain, hang, _conv = agc_ff_chunked(x, started=started, **p)
+            started = jnp.logical_or(started, x.shape[0] > 0)
+            return (gain, hang, started), y
 
         return Block("agc_ff", init, apply)
 
     def init():
-        return (jnp.float32(params.get("last_gain", 1.0)), jnp.int32(0))
+        g = params.get("last_gain", 1.0)
+        return (jnp.float32(g), jnp.int32(0),
+                jnp.float32(params.get("reference", 1.0) / g),
+                jnp.int32(0), jnp.bool_(False))
 
     def apply(state, x):
-        gain, hang = state
+        gain, hang, peak, awc, started = state
         p = dict(params)
         p["last_gain"] = gain
         p["last_hang"] = hang
-        y, gain, hang = agc_ff(x, full_state=True, **p)
-        return (gain, hang), y
+        y, gain, hang, peak, awc = agc_ff(
+            x, full_state=True, last_peak=peak, last_awc=awc,
+            started=started, **p)
+        started = jnp.logical_or(started, x.shape[0] > 0)
+        return (gain, hang, peak, awc, started), y
 
     return Block("agc_ff", init, apply)
 
@@ -207,7 +225,7 @@ def agc_block(method: str = "chunked", **params) -> Block:
 def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
                    max_gain=65535.0, hang_time=200,
                    gain_filter_alpha=0.999, last_gain=1.0, last_hang=0,
-                   chunk: int = 8192, iters: int = 14):
+                   started=False, chunk: int = 8192, iters: int = 14):
     """agc_ff with chunked speculation: EXACT agc semantics (attack_wait=0
     path) at ~10-30x the serial scan's throughput.
 
@@ -231,7 +249,10 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     safety cap.
 
     Returns (y, next_gain, next_hang, converged); thread last_gain AND
-    last_hang across streaming calls.  ``converged`` means per-chunk mask
+    last_hang (and ``started=True`` after the first chunk — the reference's
+    skip-sample-0 quirk then applies only at the true stream start, making
+    the output chunk-size-invariant; see agc_ff).  ``converged`` means
+    per-chunk mask
     self-consistency with chunk-boundary gains agreed to ~1e-6 relative;
     it can report False on borderline float ties whose branches are
     numerically equivalent — treat it as a diagnostic, not a failure bit.
@@ -240,18 +261,17 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     n = x.shape[0]
     f0g = jnp.float32(last_gain)
     h0_in = jnp.asarray(last_hang, jnp.int32)
-    # degenerate streams (<= 1 sample, e.g. a 1-sample final EOF chunk):
-    # the body scan is empty — emit last_gain*x[0] (or nothing) and carry
-    # the state through unchanged, exactly like agc_ff()'s scan path.
-    if n <= 1:
-        return f0g * x, f0g, h0_in, jnp.bool_(True)
+    if n == 0:
+        return x, f0g, h0_in, jnp.bool_(True)
     one_m_alpha = jnp.float32(1.0 - gain_filter_alpha)
     neg = jnp.int32(-(1 << 30))
 
-    # reference quirk: sample 0 is emitted with last_gain and does not
-    # update the state (agc_ff scans x[1:])
-    body_in = x[1:]
-    m = body_in.shape[0]
+    # reference quirk: at stream start (started=False) sample 0 is emitted
+    # with last_gain and does not update the state — expressed as a mask
+    # (an identity affine step) so first and continuation chunks share one
+    # jitted graph
+    body_in = x
+    m = n
     # NOTE chunk=8192 is a stability choice, not only a perf knob: a single
     # whole-stream chunk measured ~15% faster on smooth audio but the
     # within-chunk Picard iteration can DIVERGE on strongly modulated
@@ -271,6 +291,9 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
     xc = xp.reshape(nchunks, 128, sub).transpose(0, 2, 1)    # [b, r, j]
     nz = xc != 0
     c = jnp.where(nz, reference / jnp.maximum(jnp.abs(xc), 1e-30), 0.0)
+    # stream-start skip: global sample 0 lives at chunk 0, row 0, column 0
+    skipm = jnp.zeros((nchunks, sub, 128), bool).at[0, 0, 0].set(
+        jnp.logical_not(jnp.asarray(started, bool)))
 
     def comb(l, r):
         return l[0] * r[0], l[1] * r[0] + r[1]
@@ -292,8 +315,8 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
         top = jnp.roll(f[:, -1, :], 1, axis=-1)
         top = top.at[:, 0].set(ef)
         f_prev = jnp.concatenate([top[:, None, :], f[:, :-1, :]], axis=1)
-        attack = nz & (c < f_prev)
-        decay = nz & (~attack)
+        attack = nz & (c < f_prev) & ~skipm
+        decay = nz & (~attack) & ~skipm
         s1 = jnp.cumsum(decay.astype(jnp.int32), axis=1)
         csum = jnp.concatenate(
             [jnp.zeros((nchunks, 1), jnp.int32),
@@ -320,6 +343,10 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
         a = jnp.where(clip_hi, one_m_alpha,
                       (1.0 - rate) + one_m_alpha).astype(jnp.float32)
         b = jnp.where(clip_hi, max_gain, rate * c).astype(jnp.float32)
+        # skipped stream-start sample: identity step (no gain filter, no
+        # state update), output rides the entering gain
+        a = jnp.where(skipm, 1.0, a)
+        b = jnp.where(skipm, 0.0, b)
         ca, cb = jax.lax.associative_scan(comb, (a, b), axis=1)
         ga, gb = jax.lax.associative_scan(
             comb, (ca[:, -1, :], cb[:, -1, :]), axis=1)
@@ -401,9 +428,11 @@ def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
          jnp.bool_(False)))
     converged = stable & conv_all
     f_all = frows.transpose(0, 2, 1).reshape(-1)[:m]
-    # the reference emits with the UPDATED filtered gain (y = gain_filt * x)
-    y = jnp.concatenate([jnp.reshape(f0g * x[0], (1,)), f_all * body_in])
-    next_gain = f_all[m - 1] if m > 0 else f0g
+    # the reference emits with the UPDATED filtered gain (y = gain_filt*x);
+    # at the skipped stream-start sample f is the entering gain (identity
+    # step), reproducing output[0] = last_gain*input[0]
+    y = f_all * body_in
+    next_gain = f_all[m - 1]
     # NOTE with padding, h_end reflects the padded tail; zeros don't change
     # hang, so it equals the hang after sample n-1
     return y, next_gain, h_end, converged

@@ -99,6 +99,8 @@ def mono2stereo_s16(x):
 
 
 def stereo2mono_s16(x):
-    """Average L/R pairs (reference csdr.c stereo2mono_i16: (l+r)/2 in int)."""
+    """Average L/R pairs to mono, (l+r)//2 in int32.  EXTENSION: the
+    reference has no stereo2mono command (only mono2stereo_s16,
+    csdr.c:2174-2189); this is its inverse for symmetry."""
     x = x.reshape(-1, 2).astype(jnp.int32)
     return ((x[:, 0] + x[:, 1]) // 2).astype(jnp.int16)

@@ -57,13 +57,19 @@ def _varicode_decode_tables():
 _VC_GROUPS = _varicode_decode_tables()
 
 
-def psk31_varicode_decoder_u8_u8(bits, max_out: int | None = None):
+def psk31_varicode_decoder_u8_u8(bits, max_out: int | None = None,
+                                 skip: int = 0):
     """Bit stream -> VarOut of ASCII bytes.  Fully parallel window match.
 
     Matches the reference exactly: a character is emitted at bit n when the
     window of the last (bitcount+4) bits equals 00<code>00.  (Like the
     reference, a code that is a suffix-context match of another emits both —
     the table is prefix-free under the 00 framing so this does not occur.)
+
+    ``skip``: suppress matches ending at bit index < skip.  Streaming
+    callers prepend the previous chunk's last history bits so boundary-
+    spanning codes match; matches that END inside that prepended history
+    were already emitted by the previous chunk and must not re-emit.
     """
     bits = jnp.asarray(bits, jnp.int32) & 1
     n = bits.shape[0]
@@ -80,6 +86,8 @@ def psk31_varicode_decoder_u8_u8(bits, max_out: int | None = None):
             m = win == value
             hit = hit | m
             ascii_hit = jnp.where(m, ascii_val, ascii_hit)
+    if skip:
+        hit = hit & (jnp.arange(n) >= skip)
     # stream compaction into capacity buffer
     pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
     tgt = jnp.where(hit & (pos < cap), pos, cap)

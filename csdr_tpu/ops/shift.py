@@ -36,23 +36,39 @@ def _frac_cycles_static(n: int, rate: float) -> np.ndarray:
     return np.mod(np.arange(n, dtype=np.float64) * np.float64(rate), 1.0).astype(np.float32)
 
 
-def _frac_cycles_dynamic(n: int, rate):
-    """frac(arange(n)*rate) for a *traced* rate (live retuning path).
+def _frac_mul(idx, rate, max_val: int):
+    """frac(idx * rate) for a *traced* f32 rate and non-negative int32
+    ``idx`` (scalar or array, traced or static), error ~1 ULP of a cycle
+    INDEPENDENT of idx (live retuning path).
 
-    Splits the index into 12-bit digits so every partial product stays below
-    2^12 cycles before its mod, bounding float32 error at ~4096*eps cycles —
-    comparable to the reference's recurrence drift (libcsdr_gpl.c:94-124)."""
-    idx = jnp.arange(n, dtype=jnp.int32)
+    Split idx into 12-bit digits d_k; frac(idx*rate) = frac(sum d_k*s_k)
+    with s_k = frac(4096^k * rate).  The s_k recurrence is EXACT in f32
+    (x*4096 shifts the exponent, %1 keeps a <=24-bit fraction), and each
+    s_k is split into a 12-bit head + tail so d*s_hi is an exact 24-bit
+    product (its %1 is exact too) and d*s_lo < 1 rounds once.  Total error
+    is a few additions' ULPs — vs ~4096*eps cycles for the naive
+    d_k*s_k form, which drifted to 1e-4 rad by 4k samples (caught by
+    tests/test_chunk_invariance.py; the reference's own recurrence NCOs
+    drift comparably, libcsdr_gpl.c:94-124, but we can be exact)."""
+    idx = jnp.asarray(idx, jnp.int32)
     rate = jnp.asarray(rate, jnp.float32) % 1.0
-    acc = jnp.zeros(n, jnp.float32)
+    acc = jnp.zeros(idx.shape, jnp.float32)
     step = rate
-    for shift in range(0, 32, 12):
+    for shift in range(0, 31, 12):
         digit = ((idx >> shift) & 0xFFF).astype(jnp.float32)
-        acc = (acc + (digit * step) % 1.0) % 1.0
+        s_hi = jnp.floor(step * 4096.0) * (1.0 / 4096.0)
+        s_lo = step - s_hi
+        acc = (acc + (digit * s_hi) % 1.0) % 1.0
+        acc = (acc + digit * s_lo) % 1.0
         step = (step * 4096.0) % 1.0
-        if (1 << (shift + 12)) >= n:
+        if (1 << (shift + 12)) >= max_val:
             break
     return acc
+
+
+def _frac_cycles_dynamic(n: int, rate):
+    """frac(arange(n)*rate) for a *traced* rate (live retuning path)."""
+    return _frac_mul(jnp.arange(n, dtype=jnp.int32), rate, n)
 
 
 def _wrap_phase(p):
@@ -70,7 +86,10 @@ def shift_cc(x: CF, rate, phase=0.0):
         step_total = float((n * np.float64(rate)) % 1.0)
     else:
         cycles = _frac_cycles_dynamic(n, rate)
-        step_total = (n * rate) % 1.0
+        # frac(n*rate) via the exact digit split: the naive f32 product
+        # rounds to ~n*eps cycles and that error lands in the CARRIED
+        # phase every chunk
+        step_total = _frac_mul(n, rate, n + 1)
     y = x * expj(phase + TWO_PI * cycles)
     next_phase = _wrap_phase(phase + TWO_PI * step_total)
     return y, next_phase
@@ -124,12 +143,15 @@ def decimating_shift_cc(x: CF, rate, decimation, phase=0.0, start_offset=0):
     if isinstance(rate, (int, float)):
         cycles = jnp.asarray(np.mod(np.arange(cap, dtype=np.float64) * np.float64(rate), 1.0).astype(np.float32))
     else:
-        k = jnp.arange(cap, dtype=jnp.float32)
-        cycles = (k * jnp.asarray(rate, jnp.float32)) % 1.0
+        cycles = _frac_mul(jnp.arange(cap, dtype=jnp.int32), rate, cap)
     ph = phase + TWO_PI * cycles
     y = taken * expj(ph)
     y = cplx.where(valid, y, CF.scalar(0.0))
     count = jnp.sum(valid.astype(jnp.int32))
-    next_phase = _wrap_phase(phase + TWO_PI * ((count.astype(jnp.float32) * jnp.asarray(rate, jnp.float32)) % 1.0))
+    # count is traced, so even a static rate goes through the digit-split
+    # frac (a naive f32 count*rate rounds to ~count*eps cycles per chunk)
+    next_phase = _wrap_phase(
+        phase + TWO_PI * _frac_mul(count, jnp.asarray(rate, jnp.float32),
+                                   cap + 1))
     next_offset = (start_offset + decimation * count) - n_in
     return y, count, next_phase, next_offset

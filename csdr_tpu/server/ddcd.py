@@ -162,8 +162,10 @@ class DdcdServer:
                 # valid-mode emits n/D+1 outputs when (T-1) % D != 0; the
                 # extra one duplicates the next chunk's first output (same
                 # slice as fir_decimate_block, ops/fir.py)
+                # digit-split frac: rate is traced (per-channel retunes), a
+                # naive f32 n*rate loses ~n*eps cycles into the carry per chunk
                 nphase = shift_ops._wrap_phase(
-                    phase + 2.0 * np.pi * ((n * rate) % 1.0))
+                    phase + 2.0 * np.pi * shift_ops._frac_mul(n, rate, n + 1))
                 return (dec.re[:k], dec.im[:k], nphase,
                         xcat.re[n:], xcat.im[n:])
 

@@ -126,8 +126,8 @@ def test_agc_ff_degenerate_chunks():
     state through unchanged — both methods."""
     y, g = agc.agc_ff(jnp.zeros((0,), jnp.float32), last_gain=2.0)
     assert y.shape == (0,) and float(g) == 2.0
-    y, g, h = agc.agc_ff(jnp.asarray([0.5], jnp.float32), last_gain=2.0,
-                         last_hang=7, full_state=True)
+    y, g, h, _p, _a = agc.agc_ff(jnp.asarray([0.5], jnp.float32),
+                                 last_gain=2.0, last_hang=7, full_state=True)
     assert np.allclose(np.asarray(y), [1.0]) and float(g) == 2.0
     assert int(h) == 7
 
