@@ -1890,12 +1890,21 @@ def _c_shift_test(args):
     rate = _f(args, 0, 0.24567)
     n = 500_000
     ones = CF(jnp.ones(n, jnp.float32), jnp.zeros(n, jnp.float32))
-    y, _ = shift.shift_cc(ones, rate, 0.0)
+    # f64 oracle at the f32-quantized rate (the rate itself is a float
+    # parameter in the reference too; the NCO's job is frac(k*rate_f32))
+    rate32 = float(np.float32(rate))
     k = np.arange(n, dtype=np.float64)
-    ref = np.exp(2j * np.pi * ((k * rate) % 1.0))
-    err = (np.asarray(y.re) - ref.real) ** 2 + (np.asarray(y.im) - ref.imag) ** 2
-    ev = 10 * np.log10(np.mean(err) + 1e-300)
-    print(f"error vector = {ev:.2f} dB over {n} samples at rate {rate}")
+    for label, r in (("static (host f64 ramp)", rate),
+                     ("traced (digit-split NCO, retune path)",
+                      jnp.float32(rate))):
+        y, _ = shift.shift_cc(ones, r, 0.0)
+        ref = np.exp(2j * np.pi * ((k * (rate if label.startswith("static")
+                                         else rate32)) % 1.0))
+        err = ((np.asarray(y.re) - ref.real) ** 2
+               + (np.asarray(y.im) - ref.imag) ** 2)
+        ev = 10 * np.log10(np.mean(err) + 1e-300)
+        print(f"error vector = {ev:.2f} dB over {n} samples at rate {rate} "
+              f"[{label}]")
     return 0
 
 
