@@ -126,7 +126,7 @@ def main():
         (3, [sys.executable, "-m", "pytest", "-q", "--no-header",
              "tests/test_fir.py", "tests/test_shift.py",
              "tests/test_fastddc.py", "tests/test_fft.py",
-             "tests/test_fftfilt.py"], 3600, None),
+             "tests/test_fftfilt.py", "tests/test_agc.py"], 3600, None),
         # FIR dot-packing variants sweep BEFORE the driver bench: its
         # winner should set fir_pallas._HIGH_VARIANT for stage 5
         (4, [sys.executable, "bench_roofline.py", "--variants"], 2400, None),

@@ -37,12 +37,23 @@ def _dynamic_bufsize_on() -> bool:
 
 def getbufsize() -> int:
     """Read the 8-byte dynamic-bufsize preamble "csdr"+int32 from stdin
-    (reference csdr.c:330-356, README.md:1407-1446)."""
+    (reference csdr.c:330-356, README.md:1407-1446).
+
+    Mismatch semantics follow the reference exactly: warn, fall back to
+    the default 1024, and the 8 bytes already read stay consumed (the
+    reference fread()s them into recv_first and never pushes back)."""
     pre = sys.stdin.buffer.read(8)
     if len(pre) < 8 or pre[:4] != b"csdr":
-        raise SystemExit("csdr_tpu: expected dynamic bufsize preamble "
-                         "(upstream process did not send one)")
+        sys.stderr.write(
+            f"{sys.argv[1] if len(sys.argv) > 1 else 'csdr_tpu'}: warning! "
+            "Did not match preamble on the beginning of the stream. You "
+            "should put \"csdr setbuf <buffer size>\" at the beginning of "
+            "the chain! Falling back to default buffer size: 1024\n")
+        return 1024
     n = int.from_bytes(pre[4:], "little", signed=True)
+    if n <= 0:
+        sys.stderr.write(f"{sys.argv[1]}: warning! Invalid buffer size.\n")
+        return 0
     if os.environ.get("CSDR_PRINT_BUFSIZES"):
         sys.stderr.write(f"{sys.argv[1]}: getbufsize = {n}\n")
     return n
@@ -175,7 +186,12 @@ def pump(block, in_fmt: str, out_fmt: str, quantum: int = 1,
         # 8-byte stream preamble negotiation (csdr.c:325-392): adopt the
         # upstream chunk size, announce ours downstream.  Our pump
         # accumulates arbitrary boundaries, so any positive size works.
-        n = max(getbufsize(), quantum)
+        # A command with a PINNED chunk (fastdcblock/fastagc own their
+        # block size, csdr.c:952-968) still consumes the upstream preamble
+        # ("it is just dummy") but keeps its pin.
+        up = getbufsize()
+        if not chunk:
+            n = max(up, quantum)
     n = max(quantum, (n // quantum) * quantum)
     if _dynamic_bufsize_on():
         sendbufsize(n)
@@ -349,7 +365,7 @@ USAGE = {
     "clipdetect_ff": "clipdetect_ff",
     "detect_nan_ff": "detect_nan_ff",
     "dcblock_ff": "dcblock_ff",
-    "fastdcblock_ff": "fastdcblock_ff",
+    "fastdcblock_ff": "fastdcblock_ff [block_size]",
     "add_n_zero_samples_at_beginning_f":
         "add_n_zero_samples_at_beginning_f <n_zero_samples>",
     "add_const_cc": "add_const_cc <i> <q>",
@@ -400,9 +416,9 @@ USAGE = {
     "fixed_amplitude_cc": "fixed_amplitude_cc <new_amplitude>",
     "convert_f_samplerf": "convert_f_samplerf <wait_for_this_sample>",
     "agc_ff":
-        "agc_ff [--reference <r>] [--attack <rate>] [--decay <rate>] "
-        "[--max <gain>] [--hangtime <n>] [--attackwait <n>] "
-        "[--filteralpha <a>]",
+        "agc_ff [hang_time [reference [attack_rate [decay_rate [max_gain "
+        "[attack_wait [filter_alpha]]]]]]]  (--reference/--attack/--decay/"
+        "--max/--hangtime/--attackwait/--filteralpha also accepted)",
     "fastagc_ff": "fastagc_ff [block_size [reference]]",
     "simple_agc_cc": "simple_agc_cc <rate> [reference]",
     "squelch_and_smeter_cc":
@@ -729,7 +745,11 @@ def _c_dcblock(args):
 @command("fastdcblock_ff")
 def _c_fastdc(args):
     from csdr_tpu.ops import util_ops
-    pump(util_ops.fastdcblock_block(), "f", "f")
+    # the reference runs its OWN block size (default 1024, optional arg),
+    # independent of the stream bufsize — the DC window is that block
+    # (csdr.c:952-968) — so parity requires pinning the chunk
+    block = _i(args, 0, 1024)
+    pump(util_ops.fastdcblock_block(), "f", "f", chunk=block)
 
 
 @command("add_n_zero_samples_at_beginning_f")
@@ -1070,17 +1090,26 @@ def _c_samplerf(args):
 def _c_agc(args):
     from csdr_tpu.ops import agc
     kw = {}
+    # reference-compatible POSITIONAL form first (csdr.c:2018-2044:
+    # agc_ff [hang_time [reference [attack_rate [decay_rate [max_gain
+    # [attack_wait [filter_alpha]]]]]]]); --flag form kept as an extension
     flags = {"--reference": "reference", "--attack": "attack_rate",
              "--decay": "decay_rate", "--max": "max_gain",
              "--hangtime": "hang_time", "--attackwait": "attack_wait_time",
              "--filteralpha": "gain_filter_alpha"}
-    i = 0
+    positional = ["hang_time", "reference", "attack_rate", "decay_rate",
+                  "max_gain", "attack_wait_time", "gain_filter_alpha"]
+    i = npos = 0
     while i < len(args):
         if args[i] in flags:
             v = float(args[i + 1])
             kw[flags[args[i]]] = int(v) if "time" in flags[args[i]] else v
             i += 2
         else:
+            name = positional[npos]
+            v = float(args[i])
+            kw[name] = int(v) if "time" in name else v
+            npos += 1
             i += 1
     # chunked (waveform-relaxation) agc supports attack_wait_time=0 only;
     # fall back to the bit-faithful scan otherwise

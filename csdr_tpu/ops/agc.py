@@ -87,12 +87,15 @@ def simple_agc_block(rate: float, reference: float = 1.0, max_gain: float = 6553
     return Block("simple_agc_cc", init, apply)
 
 
-def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.0,
+def agc_ff(x, reference=0.2, attack_rate=0.01, decay_rate=0.0001, max_gain=65536.0,
            hang_time=200, attack_wait_time=0, gain_filter_alpha=0.999,
            last_gain=1.0, last_hang=0, last_peak=None, last_awc=0,
            started=False, full_state=False):
     """Full AGC with hang/attack-wait and gain IIR
-    (reference libcsdr_gpl.c:163-260), as a lax.scan.
+    (reference libcsdr_gpl.c:163-260), as a lax.scan.  Defaults are the
+    reference CLI's own (csdr.c:2018-2044: reference=0.2,
+    decay_rate=0.0001, max_gain=65536 — "good default values for SSB
+    sampled at 48000 kHz").
 
     Returns (y, next_gain), or (y, next_gain, next_hang, next_peak,
     next_awc) with full_state=True.  Streaming callers thread ALL of it
@@ -205,7 +208,7 @@ def agc_block(method: str = "chunked", **params) -> Block:
     def init():
         g = params.get("last_gain", 1.0)
         return (jnp.float32(g), jnp.int32(0),
-                jnp.float32(params.get("reference", 1.0) / g),
+                jnp.float32(params.get("reference", 0.2) / g),
                 jnp.int32(0), jnp.bool_(False))
 
     def apply(state, x):
@@ -222,8 +225,8 @@ def agc_block(method: str = "chunked", **params) -> Block:
     return Block("agc_ff", init, apply)
 
 
-def agc_ff_chunked(x, reference=1.0, attack_rate=0.01, decay_rate=0.001,
-                   max_gain=65535.0, hang_time=200,
+def agc_ff_chunked(x, reference=0.2, attack_rate=0.01, decay_rate=0.0001,
+                   max_gain=65536.0, hang_time=200,
                    gain_filter_alpha=0.999, last_gain=1.0, last_hang=0,
                    started=False, chunk: int = 8192, iters: int = 14):
     """agc_ff with chunked speculation: EXACT agc semantics (attack_wait=0

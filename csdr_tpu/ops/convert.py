@@ -34,18 +34,23 @@ def convert_s16_f(x):
 
 def convert_f_u8(x):
     """f32 -> u8: x*127.5 + 128, wrapping like the C float->uchar store
-    (reference libcsdr.c:2387-2392: no clipping before the cast)."""
-    return (x * (UCHAR_MAX * 0.5) + 128).astype(jnp.uint8)
+    (reference libcsdr.c:2387-2392: no clipping before the cast).  The
+    int32 hop matters: XLA's direct f32->u8 SATURATES, while the C cast
+    truncates then takes the low byte (x86 cvttss2si) — verified
+    bit-identical to the reference binary in tests/test_binary_parity.py."""
+    return (x * (UCHAR_MAX * 0.5) + 128).astype(jnp.int32).astype(jnp.uint8)
 
 
 def convert_f_s8(x):
-    return (x * SCHAR_MAX).astype(jnp.int8)
+    return (x * SCHAR_MAX).astype(jnp.int32).astype(jnp.int8)
 
 
 def convert_f_s16(x):
     """f32 -> s16 with C-style truncation toward zero, no clipping
-    (reference libcsdr.c:2399-2407)."""
-    return (x * SHRT_MAX).astype(jnp.int16)
+    (reference libcsdr.c:2399-2407).  Out-of-range samples wrap through
+    the int32 hop exactly like the C store (XLA's direct f32->s16 would
+    saturate instead)."""
+    return (x * SHRT_MAX).astype(jnp.int32).astype(jnp.int16)
 
 
 def convert_s24_f(b, bigendian: bool = False):

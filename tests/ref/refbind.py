@@ -129,8 +129,10 @@ def deemphasis_wfm_ff(x: np.ndarray, tau: float, rate: int, last: float = 0.0) -
     return out
 
 
-def agc_ff(x, reference=1.0, attack_rate=0.01, decay_rate=0.001, max_gain=65535.0,
+def agc_ff(x, reference=0.2, attack_rate=0.01, decay_rate=0.0001, max_gain=65536.0,
            hang_time=200, attack_wait_time=0, gain_filter_alpha=0.999, last_gain=1.0):
+    """Defaults mirror the reference CLI's (csdr.c:2018-2044), same as
+    csdr_tpu.ops.agc.agc_ff."""
     l_ = lib()
     out = np.zeros_like(x, dtype=np.float32)
     l_.agc_ff.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_float, ctypes.c_float,
