@@ -170,12 +170,20 @@ def strip_ctl_args(argv):
 # ---------------------------------------------------------------------------
 
 def pump(block, in_fmt: str, out_fmt: str, quantum: int = 1,
-         chunk: int | None = None, on_chunk=None, jit: bool = True):
+         chunk: int | None = None, on_chunk=None, jit: bool = True,
+         drop_warmup_out: int = 0):
     """Generic fread->apply->fwrite loop.  quantum: chunk must be a multiple
     (decimation factors, frame sizes...).  on_chunk(state) -> state lets the
     caller apply FIFO retunes between chunks.  jit=False for blocks with
     host-side per-chunk effects (fresh PRNG seeds, file reads): a jitted
-    apply would bake them in at trace time."""
+    apply would bake them in at trace time.
+
+    drop_warmup_out: suppress this many leading OUTPUT samples.  Our FIR
+    blocks compute over a zero-initialized history tail (chunk-invariant
+    state), while the reference CLI starts "valid" at the first full
+    window (libcsdr.c:528-549 begins at input[0]) — dropping the block's
+    warmup_out makes the wire streams align one-to-one
+    (tests/test_binary_parity.py measures 135 dB after the drop)."""
     import jax
     from csdr_tpu.core.block import VarOut
 
@@ -229,6 +237,10 @@ def pump(block, in_fmt: str, out_fmt: str, quantum: int = 1,
             out = np.ascontiguousarray(data_h[:cnt])
         else:
             out = np.ascontiguousarray(fo.to_wire(y))
+        if drop_warmup_out:
+            k = min(drop_warmup_out * fo.per_sample, len(out))
+            out = out[k:]
+            drop_warmup_out -= k // fo.per_sample
         stdout.write(out.astype(fo.dtype).tobytes())
         stdout.flush()
 
@@ -850,8 +862,8 @@ def _c_firdec(args):
     bw = _f(args, 1, 0.05)
     win = _window(args, 2)
     taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw), 0.5 / d, win)
-    pump(fir.fir_decimate_block(taps, d, precision=prec),
-         "c", "c", quantum=d)
+    blk = fir.fir_decimate_block(taps, d, precision=prec)
+    pump(blk, "c", "c", quantum=d, drop_warmup_out=blk.warmup_out)
 
 
 @command("fir_interpolate_cc")
@@ -864,8 +876,8 @@ def _c_firint(args):
     bw = _f(args, 1, 0.05)
     win = _window(args, 2)
     taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(bw), 0.5 / i_, win)
-    pump(fir.fir_interpolate_block(taps, i_, precision=prec),
-         "c", "c")
+    blk = fir.fir_interpolate_block(taps, i_, precision=prec)
+    pump(blk, "c", "c", drop_warmup_out=blk.warmup_out)
 
 
 @command("rational_resampler_ff")
@@ -880,8 +892,8 @@ def _c_ratres(args):
     win = _window(args, 3)
     taps = firdes.rational_resampler_get_lowpass_f(
         firdes.firdes_filter_len(bw), i_, d, win)
-    pump(fir.rational_resampler_block(taps, i_, d, precision=prec),
-         "f", "f", quantum=d)
+    blk = fir.rational_resampler_block(taps, i_, d, precision=prec)
+    pump(blk, "f", "f", quantum=d, drop_warmup_out=blk.warmup_out)
 
 
 @command("fractional_decimator_ff")

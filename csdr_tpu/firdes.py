@@ -48,8 +48,13 @@ def normalize_fir(taps: np.ndarray) -> np.ndarray:
 
 
 def firdes_filter_len(transition_bw: float) -> int:
-    """taps = int(4/transition_bw), forced odd (reference libcsdr.c:169-174)."""
-    result = int(4.0 / transition_bw)
+    """taps = int(4/transition_bw), forced odd (reference libcsdr.c:169-174).
+
+    The C parameter is a FLOAT: 4.0/0.05f = 79.9999988 truncates to 79
+    (not 80->81) because float32(0.05) > 0.05.  Reproducing that promotion
+    is what makes `csdr fir_decimate_cc 4 0.05` and this CLI compute the
+    same taps_length (caught by tests/test_binary_parity.py)."""
+    result = int(4.0 / np.float64(np.float32(transition_bw)))
     if result % 2 == 0:
         result += 1
     return result
@@ -156,25 +161,30 @@ def precalculate_window(size: int, window: str = WINDOW_DEFAULT) -> np.ndarray:
 def deemphasis_nfm_taps(sample_rate: int) -> np.ndarray:
     """NFM de-emphasis FIR (reference predefined.h:41-68).
 
-    The reference ships fixed arrays generated by the octave recipe it
-    documents (predefined.h:44-55):
+    48000/44100/11025 sps use the reference's own precomputed arrays
+    VERBATIM (ops/_nfm_deemph_tables.py) — bit-compatible with the
+    reference binary.  The reference's 8000 sps array is numerically
+    broken (values ~1e14), so that one is regenerated from the recipe the
+    reference documents (predefined.h:44-55):
         firls(tapnum, [0,200, 200,400, 400,3700, 3700,sr/2]/(sr/2),
               [0,0, 0,1, 1,0.1, 0,0])
         then normalize gain to 0 dB at 500 Hz by projecting onto a sine.
-    We regenerate with scipy.signal.firls from the SAME recipe (lengths match:
-    199 taps @48k/44.1k, 79 @8k/11.025k).  NOTE the reference's precomputed
-    8000 sps array is numerically broken (values ~1e13); ours is generated
-    correctly from the documented design, so at 8000 sps outputs intentionally
-    differ from the reference binary.
+    Documented deviation: at 8000 sps outputs intentionally differ from
+    the reference binary (which would emit ~1e14-scaled garbage).
     """
+    from csdr_tpu.ops import _nfm_deemph_tables as t
+
+    table = {48000: t.DEEMPHASIS_NFM_FIR_48000,
+             44100: t.DEEMPHASIS_NFM_FIR_44100,
+             11025: t.DEEMPHASIS_NFM_FIR_11025}.get(sample_rate)
+    if table is not None:
+        return np.asarray(table, np.float32)
+    if sample_rate != 8000:
+        raise ValueError(f"no NFM de-emphasis taps for sample_rate={sample_rate}")
+
     from scipy.signal import firls
 
-    if sample_rate in (48000, 44100):
-        ntaps = 199
-    elif sample_rate in (8000, 11025):
-        ntaps = 79
-    else:
-        raise ValueError(f"no NFM de-emphasis taps for sample_rate={sample_rate}")
+    ntaps = 79
     nyq = sample_rate / 2.0
     hi = min(3700.0, nyq * 0.95)
     bands = [0, 200, 200, 400, 400, hi, hi, nyq]

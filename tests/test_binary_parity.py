@@ -89,8 +89,76 @@ CASES = {
     "fastdcblock_ff": ([], F32.tobytes(), np.float32, 70.0),
     "invert_u8_u8": ([], (U8 & 1).tobytes(), np.uint8, None),
     "differential_encoder_u8_u8": ([], (U8 & 1).tobytes(), np.uint8, None),
+    "differential_decoder_u8_u8": ([], (U8 & 1).tobytes(), np.uint8, None),
     "encode_ima_adpcm_i16_u8": ([], S16.tobytes(), np.uint8, None),
+    "fmdemod_atan_cf": ([], CF64.tobytes(), np.float32, 60.0),
+    "dcblock_ff": ([], F32.tobytes(), np.float32, 70.0),
+    "binary_slicer_f_u8": ([], F32.tobytes(), np.uint8, None),
+    "convert_f_u8": ([], F32.tobytes(), np.uint8, None),
+    "convert_s8_f": ([], U8.tobytes(), np.float32, 120.0),
+    "convert_f_s8": ([], F32.tobytes(), np.int8, None),
+    "convert_f_s24": ([], (F32 * 0.9).tobytes(), np.uint8, None),
+    "simple_agc_cc": (["0.01"], CF64.tobytes(), np.float32, 60.0),
+    # 55 dB: bounded by the REFERENCE's own trig-recurrence drift
+    # (libcsdr_gpl.c:54-79 has no periodic correction, unlike the cc
+    # variant); our direct NCO is -132 dB vs the f64 oracle
+    "shift_addition_fc": (["0.17"], F32.tobytes(), np.float32, 55.0),
+    "psk31_varicode_encoder_u8_u8": ([], b"HELLO WORLD csdr tpu 123\n" * 8,
+                                     np.uint8, None),
 }
+
+# rate-changing commands: compare the overlapping prefix at SNR — any
+# count/framing mismatch destroys alignment and fails loudly
+RATE_CASES = {
+    "fir_decimate_cc": (["4", "0.05", "HAMMING"], CF64.tobytes(),
+                        np.float32, 90.0),
+    "fir_interpolate_cc": (["4", "0.05", "HAMMING"], CF64.tobytes(),
+                           np.float32, 90.0),
+    "rational_resampler_ff": (["5", "2"], F32.tobytes(), np.float32, 90.0),
+    "fractional_decimator_ff": (["2.5"], F32.tobytes(), np.float32, 80.0),
+    "logpower_cf": (["0"], CF64.tobytes(), np.float32, 90.0),
+    "fft_cc": (["256", "256"], CF64.tobytes(), np.float32, 90.0),
+    "bandpass_fir_fft_cc": (["0.0", "0.2", "0.05"], CF64.tobytes(),
+                            np.float32, 80.0),
+    "decode_ima_adpcm_u8_i16": ([], (U8 % 16).tobytes(), np.int16, 80.0),
+    "psk31_interpolate_sine_cc": (["8"], CF64.tobytes(), np.float32, 90.0),
+    "deemphasis_nfm_ff": (["48000"], F32.tobytes(), np.float32, 80.0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(RATE_CASES))
+def test_binary_parity_rate(name, ref_bin):
+    args, inp, dt, snr = RATE_CASES[name]
+    ref = np.frombuffer(_run([str(ref_bin)], [name] + args, inp), dt)
+    ours = np.frombuffer(
+        _run([sys.executable, "-m", "csdr_tpu.cli"], [name] + args, inp), dt)
+    if name == "deemphasis_nfm_ff":
+        # upstream quirk: `processed` starts 0, so the first iteration
+        # freads NOTHING and valid-filters the zero-initialized buffer —
+        # the reference stream is effectively [bufsize zeros | x] in valid
+        # mode.  Our 1:1 zero-history form: ours[k+T-1] == ref[bufsize+k].
+        ref = ref[BUFSIZE:]
+        ours = ours[200:]          # taps_length-1 for the 201-tap table
+    if name == "fir_interpolate_cc":
+        # upstream BUG, not semantics: the reference's interpolate loop has
+        # no initial FREAD_C (csdr.c fir_interpolate_cc, unlike
+        # fir_decimate_cc), so its first iteration interpolates the
+        # UNINITIALIZED input buffer — one accidental buffer of
+        # interpolated zero-page content before any real input.  Skip it;
+        # the streams align one-to-one after.
+        ref = ref[2 * BUFSIZE * 4:]
+    # both sides may append warmup-tail or post-EOF garbage; compare the
+    # overlapping prefix minus the reference's final (possibly stale)
+    # buffer's worth of output
+    n_valid = min(len(ref), len(ours))
+    n_valid -= min(n_valid // 4, 2 * BUFSIZE)
+    assert n_valid > 256, (name, len(ref), len(ours))
+    a = ref[:n_valid].astype(np.float64)
+    b = ours[:n_valid].astype(np.float64)
+    num = float(np.sum(a * a))
+    den = float(np.sum((a - b) ** 2)) + 1e-30
+    got = 10 * np.log10(num / den + 1e-30)
+    assert got >= snr, (name, got, len(ref), len(ours))
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
@@ -121,6 +189,47 @@ def test_binary_parity(name, ref_bin):
         den = float(np.sum((a - b) ** 2)) + 1e-30
         got = 10 * np.log10(num / den + 1e-30)
         assert got >= snr, (name, got)
+
+
+def test_chain_wfm_receiver(ref_bin):
+    """Whole-receiver parity: the reference README's WFM chain
+    (fir_decimate 10 | fmdemod_quadri | fractional_decimator 5 |
+    deemphasis_wfm | convert_f_s16) run as a REAL shell pipeline through
+    both programs on the same synthetic FM capture."""
+    fs = 2_400_000
+    n = fs // 8
+    t = np.arange(n) / fs
+    audio = 0.4 * np.sin(2 * np.pi * 1000 * t)
+    phase = 2 * np.pi * np.cumsum(audio) * 75_000 / fs
+    iq = np.exp(1j * phase).astype(np.complex64)
+
+    chain = [["fir_decimate_cc", "10", "0.05", "HAMMING"],
+             ["fmdemod_quadri_cf"],
+             ["fractional_decimator_ff", "5"],
+             ["deemphasis_wfm_ff", "48000", "50e-6"],
+             ["convert_f_s16"]]
+
+    def run_chain(argv0):
+        env = dict(os.environ, CSDR_FIXED_BUFSIZE=str(BUFSIZE),
+                   JAX_PLATFORMS="cpu")
+        data = iq.tobytes()
+        for stage in chain:
+            r = subprocess.run(argv0 + stage, input=data,
+                               capture_output=True, timeout=600, env=env)
+            assert r.returncode == 0, (stage, r.stderr.decode()[-300:])
+            data = r.stdout
+        return np.frombuffer(data, np.int16)
+
+    ref = run_chain([str(ref_bin)])
+    ours = run_chain([sys.executable, "-m", "csdr_tpu.cli"])
+    n_valid = min(len(ref), len(ours))
+    n_valid -= min(n_valid // 4, 4 * BUFSIZE)   # ref post-EOF stale buffers
+    assert n_valid > 2000, (len(ref), len(ours))
+    a = ref[:n_valid].astype(np.float64)
+    b = ours[:n_valid].astype(np.float64)
+    snr = 10 * np.log10(float(np.sum(a * a))
+                        / (float(np.sum((a - b) ** 2)) + 1e-30) + 1e-30)
+    assert snr >= 40.0, snr   # s16 audio; the chains agree to ~LSB noise
 
 
 def test_dynamic_bufsize_preamble(ref_bin):

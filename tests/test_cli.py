@@ -35,9 +35,10 @@ def test_cli_fir_decimate_matches_reference():
     out = run_cli(["fir_decimate_cc", "10", "0.05", "HAMMING"], x.tobytes())
     ours = np.frombuffer(out, np.complex64)
     from csdr_tpu import firdes
-    taps = firdes.firdes_lowpass_f(81, 0.05)
-    ref = refbind.fir_decimate_cc(
-        np.concatenate([np.zeros(80, np.complex64), x]), taps, 10)
+    # the CLI now drops the zero-history warmup output, so the wire
+    # stream aligns 1:1 with the reference's valid-mode convention
+    taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(0.05), 0.05)
+    ref = refbind.fir_decimate_cc(x, taps, 10)
     m = min(len(ref), len(ours))
     assert m > 3000
     assert_snr(ref[:m], ours[:m], 95, "cli fir_decimate")

@@ -29,8 +29,10 @@ def test_bandpass_matches_reference(length, lo, hi):
 
 
 def test_filter_len():
-    assert firdes.firdes_filter_len(0.05) == 81
-    assert firdes.firdes_filter_len(0.1) == 41
+    # the C computes 4.0/float(bw): float32(0.05) > 0.05, so 4/0.05f
+    # truncates to 79 (not 80->81) — matches the reference binary
+    assert firdes.firdes_filter_len(0.05) == 79
+    assert firdes.firdes_filter_len(0.1) == 39
     assert firdes.firdes_filter_len(0.0123) == 325
 
 
