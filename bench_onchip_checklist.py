@@ -71,12 +71,14 @@ for n, b in [(1024, 64), (2048, 32), (4096, 16), (8192, 8), (16384, 4)]:
     snr = -20 * np.log10(err)
     print(f"n={n} b={b}: {snr:.1f} dB", flush=True)
     assert snr > 90, (n, snr)
-    # round trip through the kernel-order inverse
+    # round trip through the kernel-order inverse (ifft_ko is UNNORMALIZED
+    # like FFTW backward, so rt carries a factor of n)
     z = fk.ifft_ko(fk.fft_ko(x, "HIGH"), "HIGH")
-    rt = np.asarray(z.re) + 1j * np.asarray(z.im)
-    err2 = np.linalg.norm(rt - (np.asarray(x.re) + 1j * np.asarray(x.im))) \
-        / np.linalg.norm(ref) * n
+    rt = (np.asarray(z.re) + 1j * np.asarray(z.im)) / n
+    x_np = np.asarray(x.re) + 1j * np.asarray(x.im)
+    err2 = np.linalg.norm(rt - x_np) / np.linalg.norm(x_np)
     print(f"   roundtrip rel err {err2:.2e}", flush=True)
+    assert err2 < 3e-5, (n, err2)
 print("stage1 OK")
 """
 
