@@ -42,7 +42,8 @@ def test_help_lists_usage_and_single_command():
     err = p.stderr.decode()
     assert "fir_decimate_cc <decimation_factor>" in err
     p = run_cli(["--help", "agc_ff"])
-    assert "agc_ff [--reference" in p.stderr.decode()
+    # positional form verbatim from the reference usage[] (csdr.c:100)
+    assert "agc_ff [hang_time [reference [attack_rate" in p.stderr.decode()
     p = run_cli(["--help", "no_such_cmd"], check=False)
     assert p.returncode == 1
 
