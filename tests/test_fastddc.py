@@ -7,7 +7,8 @@ import pytest
 from csdr_tpu.core import cplx
 from csdr_tpu.core.block import VarOut
 from csdr_tpu.ops import fastddc
-from tests.util import refbind, assert_snr, cplx_noise, to_dev, to_host
+from tests.util import (refbind, assert_snr, cplx_noise, to_dev, to_host,
+                        interpret_is_exact)
 
 
 @pytest.mark.parametrize("d,rate", [(8, 0.1), (4, -0.2), (20, 0.05), (1, 0.0),
@@ -242,8 +243,11 @@ def test_classed_kernel_order_equals_natural(monkeypatch):
          + 1j * rng.standard_normal(b * ddc.input_size)).astype(np.complex64)
     xc = CF(jnp.asarray(x.real), jnp.asarray(x.imag))
 
+    cases = [("natural", None), ("kernel", None)]
+    if interpret_is_exact():
+        cases.append(("kernel", "1"))   # interpret emulation: CPU-only exact
     outs = {}
-    for mode, env in (("natural", None), ("kernel", None), ("kernel", "1")):
+    for mode, env in cases:
         if env:
             monkeypatch.setenv("CSDR_PALLAS_INTERPRET", env)
         else:

@@ -7,7 +7,8 @@ import pytest
 from csdr_tpu import firdes
 from csdr_tpu.ops import fftfilt
 from csdr_tpu.core import cplx
-from tests.util import assert_snr, cplx_noise, to_dev, to_host
+from tests.util import (assert_snr, cplx_noise, to_dev, to_host,
+                        interpret_is_exact)
 
 
 def _numpy_reference(x, low, high, bw):
@@ -61,6 +62,8 @@ def test_bandpass_is_a_linear_filter():
 def test_kernel_fft_path_matches_fallback(monkeypatch):
     """The matmul-FFT pallas pair (kernel bin order, no reordering) must be
     stream-equal to the Stockham fallback path."""
+    if not interpret_is_exact():
+        pytest.skip("interpret emulation is only f32-exact on CPU")
     monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
     blk = fftfilt.bandpass_fir_fft_block(-0.2, 0.2, 0.05)
     n = 4 * blk.input_size
@@ -80,6 +83,8 @@ def test_wide_taps_overlap_exceeds_input(monkeypatch, env):
     size and the tail cascades multiple frames — must still match direct
     convolution (both code paths)."""
     if env:
+        if not interpret_is_exact():
+            pytest.skip("interpret emulation is only f32-exact on CPU")
         monkeypatch.setenv("CSDR_PALLAS_INTERPRET", env)
     low, high, bw = -0.1, 0.2, 0.014
     blk = fftfilt.bandpass_fir_fft_block(low, high, bw)

@@ -18,7 +18,17 @@ to_dev = cplx.from_numpy       # np complex64 -> planar CF on device
 to_host = cplx.to_numpy        # CF -> np complex
 
 __all__ = ["refbind", "snr_db", "assert_snr", "cplx_noise", "real_noise",
-           "to_dev", "to_host"]
+           "to_dev", "to_host", "interpret_is_exact"]
+
+
+def interpret_is_exact() -> bool:
+    """CSDR_PALLAS_INTERPRET emulates pallas kernels with plain jnp ops;
+    only on CPU do their DEFAULT-precision dots stay f32-exact.  On the
+    TPU backend the emulation's dots run single-pass bf16 (~1e-3), so
+    interpret-vs-silicon equivalence asserts are CPU-only (the silicon
+    kernel itself is still compared against the XLA fallback on-chip)."""
+    import jax
+    return jax.default_backend() == "cpu"
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
