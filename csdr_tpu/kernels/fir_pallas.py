@@ -389,6 +389,13 @@ def _toeplitz_w_cat_cached(taps_key, d: int, prec_name: str):
 # the hi/lo split hoisted before the roll/concat layout ops (half the
 # converts, bf16 layout traffic).  All compute the same bf16x3 product;
 # bench_roofline.py --variants measures the sweep.
+#
+# HIGH5 does NOT lower on real silicon: Mosaic's tpu.dynamic_rotate is
+# 32-bit-only ("Rotate with non-32-bit data"), so pltpu.roll of the bf16
+# planes fails to compile — it survives only in interpret-mode coverage.
+# On-chip sweep (2026-08-19, D=10 T=1023 kout=64k): HIGH1 29.1 Gsps >
+# HIGH3 28.9 > HIGH2 28.6 > HIGH4 25.4 at jb=128; jb=128 > 64 > 32 for
+# every packing.  HIGH1/jb=128 is the production dispatch.
 _HIGH_VARIANT = "HIGH1"
 
 
@@ -400,17 +407,18 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
 
     jb: rows (output 128-sample tiles) per grid step — the M dim of the
     per-step MXU dots is 2*jb (4*jb for the stacked HIGH variants).
-    Default 64; bench_roofline.py --variants sweeps it."""
+    Default 128 at deep grids; bench_roofline.py --variants sweeps it."""
     from csdr_tpu.core.cplx import CF
 
     d = decimation
     t = int(taps.shape[0])
-    # jb=64 measured fastest even when the tile rounding pads a ragged
-    # kout by up to 25% (bench_kernels' 26214-output shape: 14.9 Gsps at
-    # jb=64/25% pad vs 13.9 at jb=16/1.5% pad — MXU efficiency of the
-    # bigger per-step matmuls beats the padding waste)
+    # Bigger per-step matmuls beat padding waste: jb=64 beat jb=16 even at
+    # 25% tile-rounding pad (bench_kernels' 26214-output shape: 14.9 vs
+    # 13.9 Gsps), and the on-chip sweep (2026-08-19) ranks jb=128 over 64
+    # over 32 at every HIGH packing (29.1 / 27.9 / 27.3 Gsps for HIGH1).
     if jb is None:
-        jb = 64 if kout >= 64 * 128 else 8
+        jb = (128 if kout >= 128 * 128 else
+              64 if kout >= 64 * 128 else 8)
     assert jb % 8 == 0 or jb == 8, jb
     kout_pad = _round_up(kout, jb * 128)
     rd = 128 * d
