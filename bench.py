@@ -226,13 +226,41 @@ def _apply_onchip_gates():
 
 def main():
     import os
+    import signal
     import jax
     # sitecustomize preloads jax with the axon platform; honor an explicit
     # JAX_PLATFORMS (e.g. cpu smoke runs) the same way cli.main does
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     _apply_onchip_gates()
-    if jax.default_backend() == "tpu" and not _probe_device(1800.0):
+    # Total wall budget: the driver runs bench.py under its own timeout and
+    # records the LAST parseable JSON line of the tail (r2 was killed at
+    # rc=124 mid-secondary and the recorded metric was a stderr secondary,
+    # not the headline).  Manage the budget ourselves: skip secondaries
+    # that no longer fit, and ALWAYS re-print the headline as the final
+    # stdout line — including on SIGTERM.
+    t_start = time.time()
+    budget_s = float(os.environ.get("CSDR_BENCH_BUDGET_S", "3000"))
+
+    def remaining():
+        return budget_s - (time.time() - t_start)
+
+    headline = {"metric": "fir_decimate_cc throughput (D=10, 1023 taps)",
+                "value": None, "unit": "complex Msamples/s/chip",
+                "vs_baseline": None,
+                "error": "bench terminated before the headline ran"}
+
+    def flush_headline(*_a):
+        print(json.dumps(headline), flush=True)
+
+    def on_term(signum, frame):  # driver timeout sends SIGTERM first
+        sys.stderr.write("bench: SIGTERM — flushing headline and exiting\n")
+        flush_headline()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    if jax.default_backend() == "tpu" and not _probe_device(
+            min(1800.0, max(120.0, budget_s * 0.5))):
         # Record the outage honestly rather than leaving no line at all:
         # the driver keeps the last stdout JSON line.  value=null marks
         # "not measured this run"; the pointer names the last real
@@ -317,8 +345,8 @@ def main():
                 f"fastddc D={decimation} C={channels}",
                 per_s, byts, executed, roof["peaks"], "HIGH", ideal)
         return calc
-    # the driver records the single stdout line: print the proven headline
-    # FIRST so a failure in any secondary metric can never lose it
+    # the driver records the LAST stdout JSON line: print the proven
+    # headline now (so it exists even if we die) AND again at exit
     rec = {
         "metric": "fir_decimate_cc throughput (D=10, 1023 taps)",
         "value": round(tpu, 1),
@@ -328,6 +356,8 @@ def main():
     if roof:
         rec["pct_of_roofline"] = roof["pct_of_roofline"]
         rec["roofline"] = roof
+    headline.clear()
+    headline.update(rec)
     print(json.dumps(rec), flush=True)
 
     # secondary metrics -> stderr.  Each runs in a CHILD process with a
@@ -343,6 +373,12 @@ def main():
             sys.stderr.write(json.dumps(
                 {"metric": name, "error": "skipped: worker wedged"}) + "\n")
             return None
+        if remaining() < min(timeout_s, 300) + 60:
+            sys.stderr.write(json.dumps(
+                {"metric": name, "error": "skipped: bench wall budget "
+                 f"exhausted ({remaining():.0f}s left)"}) + "\n")
+            return None
+        timeout_s = min(timeout_s, remaining() - 60)
 
         def attempt(extra_env=None):
             env = dict(os.environ, **(extra_env or {}))
@@ -375,6 +411,7 @@ def main():
             for k, f in extra.items():
                 line[k] = f(v)
             sys.stderr.write(json.dumps(line) + "\n")
+            headline.setdefault("secondaries", {})[key] = line
             return v
         except Exception as e:  # noqa: BLE001 — report, never kill the bench
             sys.stderr.write(json.dumps({"metric": name,
@@ -409,6 +446,9 @@ def main():
               roofline=_fastddc_account(16, 64, 1024))
     secondary("fastddc 256-channel channelizer wideband throughput",
               "fastddc256", 1500)
+    # the LAST stdout line is what the driver records: the headline, now
+    # carrying every completed secondary
+    flush_headline()
 
 
 _SECONDARIES = {

@@ -165,7 +165,8 @@ def variants_sweep():
             except Exception as e:  # noqa: BLE001 — a config that fails to
                 # lower must not cost the rest of the sweep
                 print(json.dumps({"variant": pn, "jb": jb,
-                                  "error": str(e).splitlines()[0][:160]}))
+                                  "error": (str(e).splitlines()
+                                            or [repr(e)])[0][:160]}))
             sys.stdout.flush()
 
 

@@ -399,6 +399,43 @@ def _toeplitz_w_cat_cached(taps_key, d: int, prec_name: str):
 _HIGH_VARIANT = "HIGH1"
 
 
+def _vmem_jb_cap(d: int, t: int) -> int:
+    """Largest jb (rows per grid step) whose resident VMEM fits the ~16 MB
+    core budget, or <8 when even jb=8 cannot fit (caller must fall back to
+    the XLA Toeplitz path).
+
+    Per-step residents, with Mosaic's double-buffering of grid blocks:
+    two (jb, rd) f32 input blocks + two (8, rd) halo blocks (x2 for the
+    double buffer), the whole-kernel weight matrix (rd+k2, 128) f32 — the
+    bf16 [hi;lo] HIGH stack is byte-identical — and two (jb, 128) f32
+    output blocks.  The jb=128 default was swept only at d=10 (ADVICE r2);
+    deep-d configs must shrink jb or overflow VMEM."""
+    rd = 128 * d
+    slab_len = 127 * d + t
+    k2 = max(128, _round_up(max(slab_len - rd, 1), 128))
+    w_bytes = (rd + k2) * 128 * 4
+    halo_bytes = 2 * 2 * 8 * rd * 4          # dbl-buf x re/im (8, rd) specs
+    budget = 14 * 2**20 - w_bytes - halo_bytes
+    per_row = 2 * 2 * rd * 4 + 2 * 2 * 128 * 4   # dbl-buf in + out rows
+    cap = budget // per_row if budget > 0 else 0
+    return min(128, (cap // 8) * 8)
+
+
+def _default_jb(d: int, t: int, kout: int) -> int:
+    """jb default: the swept deep-grid winner (128), shrunk for small
+    grids (matmul M-dim vs tile-rounding pad) and VMEM-capped at deep d."""
+    cap = _vmem_jb_cap(d, t)
+    if cap < 8:
+        raise ValueError(
+            f"fir_decimate_vmem: D={d} T={t} exceeds the VMEM budget "
+            "even at jb=8 (weights alone ~"
+            f"{(128 * d + 127 * d + t) * 512 // 2**20} MB); use "
+            "fir_decimate_best's XLA Toeplitz path")
+    return min(cap,
+               128 if kout >= 128 * 128 else
+               64 if kout >= 64 * 128 else 8)
+
+
 def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
                       precision=jax.lax.Precision.HIGHEST,
                       jb: int | None = None):
@@ -417,8 +454,7 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
     # 13.9 Gsps), and the on-chip sweep (2026-08-19) ranks jb=128 over 64
     # over 32 at every HIGH packing (29.1 / 27.9 / 27.3 Gsps for HIGH1).
     if jb is None:
-        jb = (128 if kout >= 128 * 128 else
-              64 if kout >= 64 * 128 else 8)
+        jb = _default_jb(d, t, kout)
     assert jb % 8 == 0 or jb == 8, jb
     kout_pad = _round_up(kout, jb * 128)
     rd = 128 * d
@@ -440,13 +476,22 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
             f"fir_decimate_vmem: precision {prec_name!r} not validated for "
             "the Mosaic dot (DEFAULT wedges the device); use HIGHEST/HIGH "
             "or the XLA Toeplitz path (fir_decimate_best)")
-    w1 = _toeplitz_w_cat_cached(
-        np.asarray(taps, np.float32).tobytes(), d, prec_name)
     # interpret mode is part of the jit cache key: an env toggle must never
     # silently reuse a trace of the other mode
     import os
     from csdr_tpu.kernels.fft_pallas import interpret_mode
     interp = interpret_mode()
+    if (prec_name == "HIGH5" and not interp
+            and jax.default_backend() == "tpu"):
+        # Mosaic's dynamic_rotate is 32-bit-only: the bf16-plane roll in
+        # HIGH5 fails to lower on silicon (and a crashed Mosaic compile can
+        # wedge the axon tunnel) — fail fast like the DEFAULT guard.
+        raise ValueError(
+            "fir_decimate_vmem: HIGH5 does not lower on TPU silicon "
+            "(Mosaic dynamic_rotate is 32-bit-only); use HIGH/HIGH1, or "
+            "interpret mode for coverage")
+    w1 = _toeplitz_w_cat_cached(
+        np.asarray(taps, np.float32).tobytes(), d, prec_name)
     yr, yi = _fir_decimate_vmem(xcat.re, xcat.im, jnp.asarray(w1),
                                 d, kout_pad, jb, prec_name, interp)
     return CF(yr[:kout], yi[:kout])
@@ -489,7 +534,8 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
     # Mosaic dot was observed to wedge the device.
     prec_ok = precision in (jax.lax.Precision.HIGHEST,
                             jax.lax.Precision.HIGH)
-    if prec_ok and 512 <= t <= 129 * d and 128 * d <= 16384 and kout >= 1024:
+    if (prec_ok and 512 <= t <= 129 * d and 128 * d <= 16384
+            and kout >= 1024 and _vmem_jb_cap(d, t) >= 8):
         return fir_decimate_vmem(xcat, taps, d, kout, precision)
     # round kout up to the Toeplitz kernel's tile_r-row tile, zero-padding
     # the input as needed: the padded tail costs <1 tile of work, while the

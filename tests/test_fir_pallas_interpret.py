@@ -73,3 +73,48 @@ def test_vmem_kernel_small_jb_path():
                           jax.lax.Precision.HIGHEST)[:kout]
     y = fp.fir_decimate_vmem(x, taps, d, kout, jax.lax.Precision.HIGHEST)
     assert _snr_db(y, np.asarray(ref.re), np.asarray(ref.im)) > 120
+
+
+def test_vmem_jb_cap_budget():
+    # ADVICE r2: jb must shrink with 128*d so the double-buffered input
+    # blocks + resident weights stay inside the ~16 MB VMEM core budget.
+    assert fp._vmem_jb_cap(10, 1023) == 128      # the swept d=10 winner
+    caps = [fp._vmem_jb_cap(d, min(129 * d, 128 * d)) for d in
+            (10, 32, 64, 80)]
+    assert caps == sorted(caps, reverse=True)    # monotone non-increasing
+    for d, t in [(64, 8192), (80, 10240)]:
+        cap = fp._vmem_jb_cap(d, t)
+        assert 8 <= cap < 128
+        rd = 128 * d
+        k2 = 128 * ((max(127 * d + t - rd, 1) + 127) // 128)
+        resident = ((rd + max(128, k2)) * 128 * 4      # weights
+                    + 2 * 2 * 8 * rd * 4               # halo blocks
+                    + cap * (2 * 2 * rd * 4 + 2 * 2 * 128 * 4))
+        assert resident <= 14 * 2**20
+    # d=128 weights alone exceed VMEM: cap < 8 and the dispatcher must
+    # refuse the kernel (fir_decimate_best falls back to XLA Toeplitz)
+    assert fp._vmem_jb_cap(128, 16512) < 8
+
+
+def test_vmem_kernel_rejects_over_budget_default_jb():
+    d, t = 128, 16512
+    taps = jnp.asarray(np.ones(t, np.float32))
+    x = _mk_input(1024 // d + 1, d, t)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        fp.fir_decimate_vmem(x, taps, d, 1024)
+
+
+def test_deep_d_default_jb_capped_and_correct():
+    # Deep-grid kout would pick jb=128, but deep d caps it (ADVICE r2).
+    assert fp._default_jb(10, 1023, 128 * 128) == 128
+    deep = fp._default_jb(64, 8191, 128 * 128)
+    assert deep == fp._vmem_jb_cap(64, 8191) and deep < 128
+    # And the capped jb still computes the right answer (d=64, jb=cap).
+    d, t = 64, 1023
+    kout = 256
+    taps = jnp.asarray(firdes.firdes_lowpass_f(t, 0.4 / d))
+    x = _mk_input(kout, d, t)
+    ref = fir_decimate_cc(x, taps, d, jax.lax.Precision.HIGHEST)[:kout]
+    y = fp.fir_decimate_vmem(x, taps, d, kout,
+                             jb=fp._vmem_jb_cap(d, t))
+    assert _snr_db(y, np.asarray(ref.re), np.asarray(ref.im)) > 90
