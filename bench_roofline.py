@@ -141,7 +141,7 @@ def variants_sweep():
     ref_i = np.asarray(jax.device_get(ref.im))
     pref = float(np.mean(ref_r**2 + ref_i**2))
     on_tpu = jax.default_backend() == "tpu"
-    for pn in ("HIGH1", "HIGH2", "HIGH3", "HIGH4", "HIGH5"):
+    for pn in ("HIGH1", "HIGH2", "HIGH3", "HIGH4", "HIGH5", "HIGH6"):
         if pn == "HIGH5" and on_tpu:
             # Mosaic's tpu.dynamic_rotate is 32-bit-only: HIGH5's bf16
             # pltpu.roll fails to compile on silicon (interpret-only)

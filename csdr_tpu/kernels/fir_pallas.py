@@ -250,6 +250,36 @@ def _fir_vmem_kernel(xm_re, xh_re, xm_im, xh_im, w1_ref,
         o_re[:, :] = y[:jb, :]
         o_im[:, :] = y[jb:, :]
         return
+    if precision == "HIGH6":
+        # Output-shift variant: split-first bf16 planes (like HIGH5) but
+        # NO input-side roll/concat at all — W1 (window row r) and W2 (row
+        # r+1, zero-padded k2 -> rd rows) ride one N=256 lane pair, and
+        # the up-1 row shift lands on the small f32 OUTPUT tile (2n, 256)
+        # instead of the (n, rd) inputs.  The 32-bit output roll lowers on
+        # Mosaic (HIGH5's bf16 input roll does not).  MACs +18% vs HIGH1
+        # (halo rows ride the dots, W2 pads k2 -> rd); VPU layout bytes
+        # ~2.5x lower — a win iff the step is VPU-bound, which the 42.5%
+        # MXU / 34% HBM accounting of r2 suggests (bench_roofline.py
+        # --variants measures it).
+        n = st_re.shape[0]                     # jb + 8
+        sr_hi = st_re.astype(jnp.bfloat16)
+        sr_lo = (st_re - sr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        si_hi = st_im.astype(jnp.bfloat16)
+        si_lo = (st_im - si_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dotb = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+        kk = w1_ref.shape[0] // 2          # w1 = [hi; lo] rows, (2rd, 256)
+        wh, wl = w1_ref[:kk, :], w1_ref[kk:, :]
+        hi = jnp.concatenate([sr_hi, si_hi], axis=0)        # (2n, rd)
+        za = jnp.concatenate([hi, sr_lo, si_lo], axis=0)    # (4n, rd)
+        d1 = dotb(za, wh)                                   # (4n, 256)
+        y256 = d1[: 2 * n, :] + d1[2 * n:, :] + dotb(hi, wl)
+        # row r of the W2 half belongs to output row r-1: shift rows up by
+        # one (stays inside each plane: only rows < jb / [n, n+jb) are kept)
+        ysh = pltpu.roll(y256, shift=2 * n - 1, axis=0)
+        y = y256[:, :128] + ysh[:, 128:]
+        o_re[:, :] = y[:jb, :]
+        o_im[:, :] = y[n: n + jb, :]
+        return
     r_re = pltpu.roll(st_re, shift=up1, axis=0)
     r_im = pltpu.roll(st_im, shift=up1, axis=0)
     a = jnp.concatenate([st_re[:jb, :], st_im[:jb, :]], axis=0)  # (2JB, rd)
@@ -367,6 +397,14 @@ def _toeplitz_w_cat_cached(taps_key, d: int, prec_name: str):
     w = np.zeros((2 * rd, 128), np.float32)
     for rr in range(128):
         w[rr * d: rr * d + t, rr] = taps
+    if prec_name == "HIGH6":
+        # [W1 | W2pad] lane pair (rd, 256) for the output-shift variant;
+        # [hi; lo] rows for the bf16x3 product (the w split is exact)
+        import ml_dtypes
+        wpair = np.concatenate([w[:rd], w[rd: 2 * rd]], axis=1)
+        hi = wpair.astype(ml_dtypes.bfloat16)
+        lo = (wpair - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return np.concatenate([hi, lo], axis=0)
     k2 = max(128, _round_up(max(slab_len - rd, 1), 128))
     wcat = np.concatenate([w[:rd], w[rd: rd + k2]], axis=0)
     if prec_name in ("HIGH1", "HIGH3", "HIGH5"):   # [hi; lo] stacked along rows
@@ -469,7 +507,7 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
     if prec_name == "HIGH":
         prec_name = _HIGH_VARIANT   # measured winner of the dot-packing sweep
     if prec_name not in ("HIGHEST", "HIGH1", "HIGH2", "HIGH3", "HIGH4",
-                         "HIGH5"):
+                         "HIGH5", "HIGH6"):
         # the DEFAULT-precision Mosaic dot is a KNOWN axon device-wedger
         # (CLAUDE.md); only the validated packings may reach the kernel
         raise ValueError(

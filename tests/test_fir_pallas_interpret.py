@@ -49,7 +49,8 @@ def test_vmem_kernel_highest_matches_xla():
     assert _snr_db(y, np.asarray(ref.re), np.asarray(ref.im)) > 120
 
 
-@pytest.mark.parametrize("variant", ["HIGH1", "HIGH2", "HIGH3", "HIGH4", "HIGH5"])
+@pytest.mark.parametrize("variant", ["HIGH1", "HIGH2", "HIGH3", "HIGH4",
+                                     "HIGH5", "HIGH6"])
 def test_vmem_kernel_high_variants(variant):
     """All four dot-packings compute the same bf16x3 product (HIGH4 adds
     the lo*lo term): >=100 dB vs the f32 path, and mutually consistent."""
