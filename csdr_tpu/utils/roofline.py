@@ -116,5 +116,13 @@ def account(name: str, seconds: float, bytes_moved: float, flops: float,
         "mac_overhead_x": round(flops / max(ideal_flops, 1.0), 2),
         "bound_by": bound,
         "pct_of_roofline": round(100.0 * t_light / seconds, 1),
+        # how busy the matmul unit actually is on EXECUTED flops: separates
+        # "the chip is idle" from "the formulation does extra MACs" — e.g.
+        # the classed fastddc inverse reads 4.9% of the algorithmic
+        # roofline while the MXU runs at ~45% (the dense-matmul form's MAC
+        # amplification is the gap, and the factored alternatives measured
+        # SLOWER on this chip: ops/fastddc.fastddc_inv_factored_batch)
+        "mxu_busy_pct": round(100.0 * (flops / mxu) / seconds, 1),
+        "hbm_busy_pct": round(100.0 * t_mem / seconds, 1),
         "precision": precision_name,
     }
