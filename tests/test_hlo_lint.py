@@ -38,13 +38,18 @@ def _block_fn(pipe):
 
 
 def test_receiver_pipelines_clean():
+    from csdr_tpu import firdes
     from csdr_tpu.models import receivers, wfm
+    from csdr_tpu.ops import fftfilt
     n = 240_000
+    # the SSB chunk must be a multiple of decimation * bandpass input_size,
+    # which derives from the plan (178 since the f32 firdes_filter_len fix)
+    _, ssb_ins, _ = fftfilt.fftfilt_plan(firdes.firdes_filter_len(0.05))
     for mk, blocklen in [(lambda: wfm.wfm_basic(), 24_000),
                          (lambda: wfm.wfm_advanced(shift_rate=-0.2), n),
                          (lambda: receivers.nfm_receiver(), n),
                          (lambda: receivers.am_receiver(), n),
-                         (lambda: receivers.ssb_receiver(), 50 * 176 * 10)]:
+                         (lambda: receivers.ssb_receiver(), 50 * ssb_ins * 10)]:
         pipe = mk()
         st = pipe.init()
         _assert_clean(_block_fn(pipe), st, _noise_cf(blocklen))

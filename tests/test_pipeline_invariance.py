@@ -43,8 +43,14 @@ def test_wfm_basic_block_size_invariant():
 
 def test_ssb_block_size_invariant():
     fs = 2_400_000
-    bs1 = 50 * 176 * 4          # decimation * bandpass input_size * k
-    bs2 = 50 * 176 * 10
+    # decimation * bandpass input_size * k — input_size derives from the
+    # plan (it moved 176 -> 178 when firdes_filter_len gained the
+    # reference's float32 truncation: 4/0.05f = 79 taps)
+    from csdr_tpu import firdes
+    from csdr_tpu.ops import fftfilt
+    _, ins, _ = fftfilt.fftfilt_plan(firdes.firdes_filter_len(0.05))
+    bs1 = 50 * ins * 4
+    bs2 = 50 * ins * 10
     t = np.arange(bs2 * 3)
     x = (0.4 * np.exp(2j * np.pi * (1000 / fs) * t)).astype(np.complex64)
     _compare(receivers.ssb_receiver, x, (bs1, bs2))
