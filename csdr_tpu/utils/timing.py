@@ -32,7 +32,7 @@ def _scalarize(y):
 def time_kernel(kernel: Callable, x, reps: int = 3,
                 target_ms: float = 80.0,
                 k_pair: tuple[int, int] | None = None,
-                aux=None) -> float:
+                aux=None, perturb: str = "add") -> float:
     """Seconds per kernel invocation (steady state).  ``kernel(x) -> y``.
 
     The axon fetch floor is ~25 ms, so k is escalated until the k-loop time
@@ -58,6 +58,31 @@ def time_kernel(kernel: Callable, x, reps: int = 3,
         return 1.0
 
     def make(k):
+        if perturb == "dus":
+            # i-dependent 1e-30 single-element update: numerically invisible
+            # but NOT foldable, so XLA cannot hoist the kernel out of the
+            # loop.  The arrays ride the fori_loop CARRY so the update is an
+            # in-place dynamic-update-slice (XLA aliases loop-carry
+            # buffers): ~4 bytes of traffic per iteration.  The old
+            # whole-array eps-add ("add" mode) materialized a full copy of
+            # x every iteration — for an opaque pallas consumer that is
+            # 2 extra HBM passes over the input PER CALL, deflating every
+            # big-array kernel's measured rate (~2x at the FIR headline
+            # shape); keep "add" only for A/B-ing the measurement itself.
+            @jax.jit
+            def run(x, aux_in, seed):
+                def body(i, carry):
+                    acc, xc = carry
+                    eps = (seed + i.astype(jnp.float32)) * jnp.float32(1e-30)
+                    xp = jax.tree_util.tree_map(
+                        lambda a: a.at[(0,) * a.ndim].add(
+                            eps.astype(a.dtype)), xc)
+                    y = kernel(xp, aux_in) if aux is not None else kernel(xp)
+                    return acc + _scalarize(y), xp
+                acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
+                return acc
+            return run
+
         @jax.jit
         def run(x, aux_in, seed):
             def body(i, acc):

@@ -68,3 +68,17 @@ def test_dcblock_streaming_matches_sequential():
         outs.append(np.asarray(y))
     got = np.concatenate(outs)
     assert np.abs(got - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+
+
+def test_time_kernel_perturb_modes_agree():
+    # the 'dus' in-place perturbation (measurement-overhead fix) and the
+    # legacy whole-array 'add' must measure the same kernel semantics
+    import jax.numpy as jnp
+    from csdr_tpu.core.cplx import CF
+    from csdr_tpu.utils.timing import time_kernel
+    x = CF(jnp.arange(4096, dtype=jnp.float32),
+           jnp.arange(4096, dtype=jnp.float32))
+    k = lambda x: CF(x.re * 2.0, x.im + 1.0)
+    a = time_kernel(k, x, k_pair=(4, 16), perturb="add")
+    b = time_kernel(k, x, k_pair=(4, 16), perturb="dus")
+    assert a > 0 and b > 0
