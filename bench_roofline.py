@@ -169,6 +169,43 @@ def variants_sweep():
                                             or [repr(e)])[0][:160]}))
             sys.stdout.flush()
 
+    # deep-d VMEM-cap validation (ADVICE r2): the default jb must shrink
+    # with 128*d; run one d=64 config at the capped default and check it
+    # compiles, fits, and matches the XLA Toeplitz HIGHEST output on-chip.
+    for d2, t2 in ((64, 6145), (80, 8193)):
+        try:
+            kout2 = 512 * 128 // 8
+            n2 = kout2 * d2
+            tail2 = ((t2 - 1 + d2 - 1) // d2) * d2
+            taps2 = np.asarray(firdes.firdes_lowpass_f(t2, 0.5 / d2),
+                               np.float32)
+            x2 = CF(jax.numpy.asarray(
+                        rng.standard_normal(n2 + tail2).astype(np.float32)),
+                    jax.numpy.asarray(
+                        rng.standard_normal(n2 + tail2).astype(np.float32)))
+            from csdr_tpu.ops.fir import fir_decimate_cc
+            refd = fir_decimate_cc(x2, taps2, d2,
+                                   jax.lax.Precision.HIGHEST)[:kout2]
+            rr = np.asarray(jax.device_get(refd.re))
+            ri = np.asarray(jax.device_get(refd.im))
+            p2 = float(np.mean(rr**2 + ri**2))
+            jb2 = fp._default_jb(d2, t2, kout2)
+            y2 = fp.fir_decimate_vmem(x2, taps2, d2, kout2, "HIGH")
+            e2 = float(np.mean((np.asarray(jax.device_get(y2.re)) - rr)**2
+                               + (np.asarray(jax.device_get(y2.im)) - ri)**2))
+            snr2 = 10 * np.log10(p2 / e2) if e2 else float("inf")
+            per2 = time_kernel(
+                lambda x2: fp.fir_decimate_vmem(x2, taps2, d2, kout2, "HIGH"),
+                x2, k_pair=(64, 1024))
+            print(json.dumps({"deepd": d2, "t": t2, "jb_capped": jb2,
+                              "Msps": round(n2 / per2 / 1e6, 1),
+                              "snr_vs_xla_HIGHEST_dB": round(snr2, 1)}))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"deepd": d2, "t": t2,
+                              "error": (str(e).splitlines()
+                                        or [repr(e)])[0][:160]}))
+        sys.stdout.flush()
+
 
 def main():
     ap = argparse.ArgumentParser()
