@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def bench_tpu_fir_decimate(d=10, taps_len=1023, kout=512 * 128,
+def bench_tpu_fir_decimate(d=10, taps_len=1023, kout=2048 * 128,
                            precision_name="HIGH"):
     """Headline kernel at the VMEM-slab pallas path.  precision HIGH is the
     manual bf16x3 kernel: ~107 dB SNR vs the f32 reference (above the
@@ -41,7 +41,9 @@ def bench_tpu_fir_decimate(d=10, taps_len=1023, kout=512 * 128,
     rng = np.random.default_rng(0)
     x = CF(jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)),
            jax.numpy.asarray(rng.standard_normal(n + tail).astype(np.float32)))
-    per = time_kernel(lambda x: fir_decimate_best(x, taps, d, kout, prec), x)
+    per = time_kernel(lambda x: fir_decimate_best(x, taps, d, kout, prec), x,
+                      k_pair=((128, 2048) if jax.default_backend() == "tpu"
+                              else None))
     return n / per / 1e6, per                # input Msamples/s, s/call
 
 
@@ -294,7 +296,7 @@ def main():
                      "hbm_bw_GBps": roofline.measure_hbm_bw() / 1e9,
                      "mxu_high_Tflops":
                          roofline.measure_mxu_flops("HIGH") / 1e12}
-            kout, d, t = 512 * 128, 10, 1023
+            kout, d, t = 2048 * 128, 10, 1023   # matches bench_tpu_fir_decimate
             n = kout * d
             roof = roofline.account(
                 "fir_decimate D=10 T=1023", per, 8.0 * (n + kout),

@@ -35,7 +35,7 @@ def fir_flops(kout: int, t: int, d: int, tile_r: int | None):
 
 
 def bench_fir(tile_r, precision_name: str, d=10, taps_len=1023,
-              kout=512 * 128):
+              kout=2048 * 128):
     """tile_r: an int pins the XLA Toeplitz path at that output tile;
     'vmem' measures the pallas VMEM-slab kernel (the production dispatch
     for long taps)."""
@@ -72,7 +72,7 @@ def bench_fir(tile_r, precision_name: str, d=10, taps_len=1023,
                                                prec)
             return CF(yr[:kout], yi[:kout])
     per = time_kernel(
-        fn, x, k_pair=(512, 8192) if jax.default_backend() == "tpu" else None)
+        fn, x, k_pair=(128, 2048) if jax.default_backend() == "tpu" else None)
     msps = n / per / 1e6
     # compulsory HBM traffic: planar complex in (8 B/sample) + out
     bytes_moved = 8.0 * (n + kout)
@@ -131,7 +131,7 @@ def variants_sweep():
     from csdr_tpu.kernels import fir_pallas as fp
     from csdr_tpu.utils.timing import time_kernel
 
-    d, taps_len, kout = 10, 1023, 512 * 128
+    d, taps_len, kout = 10, 1023, 2048 * 128
     taps = np.asarray(firdes.firdes_lowpass_f(taps_len, 0.5 / d), np.float32)
     n = kout * d
     tail = max(((taps_len - 1 + d - 1) // d) * d,
@@ -162,7 +162,7 @@ def variants_sweep():
                 perr = float(np.mean((yr - ref_r)**2 + (yi - ref_i)**2))
                 snr = 10 * np.log10(pref / perr) if perr else float("inf")
                 per = time_kernel(lambda x, pn=pn, jb=jb: fp.fir_decimate_vmem(
-                    x, taps, d, kout, pn, jb=jb), x, k_pair=(512, 8192))
+                    x, taps, d, kout, pn, jb=jb), x, k_pair=(128, 2048))
                 print(json.dumps({"variant": pn, "jb": jb,
                                   "Msps": round(n / per / 1e6, 1),
                                   "snr_vs_pallas_HIGHEST_dB": round(snr, 1)}))

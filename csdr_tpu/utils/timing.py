@@ -32,7 +32,7 @@ def _scalarize(y):
 def time_kernel(kernel: Callable, x, reps: int = 3,
                 target_ms: float = 80.0,
                 k_pair: tuple[int, int] | None = None,
-                aux=None, perturb: str = "add") -> float:
+                aux=None, perturb: str = "dus") -> float:
     """Seconds per kernel invocation (steady state).  ``kernel(x) -> y``.
 
     The axon fetch floor is ~25 ms, so k is escalated until the k-loop time
@@ -65,10 +65,12 @@ def time_kernel(kernel: Callable, x, reps: int = 3,
             # in-place dynamic-update-slice (XLA aliases loop-carry
             # buffers): ~4 bytes of traffic per iteration.  The old
             # whole-array eps-add ("add" mode) materialized a full copy of
-            # x every iteration — for an opaque pallas consumer that is
-            # 2 extra HBM passes over the input PER CALL, deflating every
-            # big-array kernel's measured rate (~2x at the FIR headline
-            # shape); keep "add" only for A/B-ing the measurement itself.
+            # x every iteration — an extra HBM pass (or two) over the input
+            # PER CALL charged to the kernel.  On-chip A/B (2026-08-19,
+            # bench_timing_ab.py): FIR headline 31.4 -> 47.3 Gsps at the
+            # 5.25MB shape and 34.2 -> 51.6 Gsps at 20MB (x too large for
+            # any VMEM-carry residency), identity-kernel floor 9.7 ->
+            # 3.6 us.  "add" is kept only for A/B-ing the measurement.
             @jax.jit
             def run(x, aux_in, seed):
                 def body(i, carry):
