@@ -435,10 +435,14 @@ def _toeplitz_w_cat_cached(taps_key, d: int, prec_name: str):
 # HIGH5 does NOT lower on real silicon: Mosaic's tpu.dynamic_rotate is
 # 32-bit-only ("Rotate with non-32-bit data"), so pltpu.roll of the bf16
 # planes fails to compile — it survives only in interpret-mode coverage.
-# On-chip sweep (2026-08-19, D=10 T=1023 kout=64k): HIGH1 29.1 Gsps >
-# HIGH3 28.9 > HIGH2 28.6 > HIGH4 25.4 at jb=128; jb=128 > 64 > 32 for
-# every packing.  HIGH1/jb=128 is the production dispatch.
-_HIGH_VARIANT = "HIGH1"
+# HIGH6 (output-shift split-first) lowers and is golden (106.8 dB) but
+# loses on silicon (47.8 vs 52.8 Gsps): its +18% MACs exceed the VPU time
+# it saves now that the MXU is ~76% busy.
+# On-chip sweep (2026-08-19, D=10 T=1023 kout=262k, 'dus' timing):
+# HIGH3/jb=256 52.8 Gsps > HIGH1/128 52.2 ~ HIGH2/256 52.1 > HIGH4 42.6;
+# head-to-head re-runs confirm HIGH3/256 on top (52.4/53.0 vs 52.0/52.3).
+# HIGH3/jb=256 (deep grids) is the production dispatch.
+_HIGH_VARIANT = "HIGH3"
 
 
 def _vmem_jb_cap(d: int, t: int) -> int:
@@ -460,12 +464,13 @@ def _vmem_jb_cap(d: int, t: int) -> int:
     budget = 14 * 2**20 - w_bytes - halo_bytes
     per_row = 2 * 2 * rd * 4 + 2 * 2 * 128 * 4   # dbl-buf in + out rows
     cap = budget // per_row if budget > 0 else 0
-    return min(128, (cap // 8) * 8)
+    return min(256, (cap // 8) * 8)
 
 
 def _default_jb(d: int, t: int, kout: int) -> int:
-    """jb default: the swept deep-grid winner (128), shrunk for small
-    grids (matmul M-dim vs tile-rounding pad) and VMEM-capped at deep d."""
+    """jb default: the swept deep-grid winner (256 at kout>=262k with
+    HIGH3, else 128), shrunk for small grids (matmul M-dim vs
+    tile-rounding pad) and VMEM-capped at deep d."""
     cap = _vmem_jb_cap(d, t)
     if cap < 8:
         raise ValueError(
@@ -474,6 +479,7 @@ def _default_jb(d: int, t: int, kout: int) -> int:
             f"{(128 * d + 127 * d + t) * 512 // 2**20} MB); use "
             "fir_decimate_best's XLA Toeplitz path")
     return min(cap,
+               256 if kout >= 2048 * 128 else
                128 if kout >= 128 * 128 else
                64 if kout >= 64 * 128 else 8)
 
