@@ -139,6 +139,28 @@ def bench_tpu_wfm(n=2_400_000):
     return n / per / 1e6
 
 
+def bench_tpu_ssb(chunks=270):
+    """End-to-end SSB receiver (BASELINE config 4, reference README.md:110):
+    fir_decimate_cc 50 | bandpass_fir_fft_cc 0 0.1 | realpart_cf | agc_ff |
+    limit_ff.  Chunk must be a multiple of decimation * the bandpass
+    fftfilt input_size."""
+    from csdr_tpu import firdes
+    from csdr_tpu.core import cplx
+    from csdr_tpu.models import receivers
+    from csdr_tpu.ops import fftfilt
+    from csdr_tpu.utils.timing import time_kernel
+
+    _, ins, _ = fftfilt.fftfilt_plan(firdes.firdes_filter_len(0.05))
+    n = 50 * ins * chunks                     # ~2.4M samples, chunk-aligned
+    rng = np.random.default_rng(0)
+    x = cplx.from_numpy((rng.standard_normal(n) +
+                         1j * rng.standard_normal(n)).astype(np.complex64))
+    pipe = receivers.ssb_receiver()
+    st = pipe.init()
+    per = time_kernel(lambda x: pipe.apply(st, x)[1], x)
+    return n / per / 1e6
+
+
 def bench_tpu_flagship(frames_target=1475):
     """BASELINE config 5 single-chip: 64-ch fastddc D=50 + 64 BPSK31
     Gardner/DBPSK modems.  ~5-7 min axon compile; runs by default as a
@@ -424,7 +446,9 @@ def main():
                                          "error": repr(e)}) + "\n")
             return None
 
-    secondary("WFM advanced receiver end-to-end", "wfm", 1200,
+    secondary("WFM advanced receiver end-to-end", "wfm", 1800,
+              x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
+    secondary("SSB receiver end-to-end", "ssb", 1500,
               x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     # frames=2500 -> 100 rows per class matmul: the classed inverse is
     # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
@@ -459,6 +483,7 @@ def main():
 
 _SECONDARIES = {
     "wfm": bench_tpu_wfm,
+    "ssb": bench_tpu_ssb,
     "fastddc50": lambda: bench_tpu_fastddc(decimation=50, frames=2500),
     "flagship": bench_tpu_flagship,
     "fastddc16": bench_tpu_fastddc,
