@@ -161,6 +161,24 @@ def bench_tpu_ssb(chunks=270):
     return n / per / 1e6
 
 
+def bench_tpu_am(n=2_400_000):
+    """End-to-end AM receiver (reference README.md:95): fir_decimate_cc 50
+    | amdemod_cf | fastdcblock_ff | agc_ff | limit_ff.  NOTE: this chain
+    wedged the axon worker twice in mid-r2 (pre column-major AGC); it ran
+    clean on 2026-08-19 at 4 563 Msps — keep it subprocess-isolated."""
+    from csdr_tpu.core import cplx
+    from csdr_tpu.models import receivers
+    from csdr_tpu.utils.timing import time_kernel
+
+    rng = np.random.default_rng(0)
+    x = cplx.from_numpy((rng.standard_normal(n) +
+                         1j * rng.standard_normal(n)).astype(np.complex64))
+    pipe = receivers.am_receiver()
+    st = pipe.init()
+    per = time_kernel(lambda x: pipe.apply(st, x)[1], x, k_pair=(16, 128))
+    return n / per / 1e6
+
+
 def bench_tpu_flagship(frames_target=1475):
     """BASELINE config 5 single-chip: 64-ch fastddc D=50 + 64 BPSK31
     Gardner/DBPSK modems.  ~5-7 min axon compile; runs by default as a
@@ -450,6 +468,8 @@ def main():
               x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     secondary("SSB receiver end-to-end", "ssb", 1500,
               x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
+    secondary("AM receiver end-to-end", "am", 1500,
+              x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     # frames=2500 -> 100 rows per class matmul: the classed inverse is
     # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
     # round-1 limiter (505 -> ~1700 Msps)
@@ -484,6 +504,7 @@ def main():
 _SECONDARIES = {
     "wfm": bench_tpu_wfm,
     "ssb": bench_tpu_ssb,
+    "am": bench_tpu_am,
     "fastddc50": lambda: bench_tpu_fastddc(decimation=50, frames=2500),
     "flagship": bench_tpu_flagship,
     "fastddc16": bench_tpu_fastddc,
