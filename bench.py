@@ -157,7 +157,7 @@ def bench_tpu_ssb(chunks=270):
                          1j * rng.standard_normal(n)).astype(np.complex64))
     pipe = receivers.ssb_receiver()
     st = pipe.init()
-    per = time_kernel(lambda x: pipe.apply(st, x)[1], x)
+    per = time_kernel(lambda x: pipe.apply(st, x)[1], x, k_pair=(16, 128))
     return n / per / 1e6
 
 
@@ -413,13 +413,17 @@ def main():
     wedged = [False]    # once a secondary times out AND a probe fails,
                         # skip the rest: each would burn its full timeout
 
-    def secondary(name, key, timeout_s, **extra):
+    def secondary(name, key, timeout_s, min_s=300, **extra):
+        """min_s: the metric's known floor (compile + one measurement) —
+        launching with less than this guarantees a futile TimeoutExpired
+        that burns the remaining budget (the flagship alone compiles
+        ~5-7 min TWICE), so skip instead."""
         import subprocess
         if wedged[0]:
             sys.stderr.write(json.dumps(
                 {"metric": name, "error": "skipped: worker wedged"}) + "\n")
             return None
-        if remaining() < min(timeout_s, 300) + 60:
+        if remaining() < min(timeout_s, min_s) + 60:
             sys.stderr.write(json.dumps(
                 {"metric": name, "error": "skipped: bench wall budget "
                  f"exhausted ({remaining():.0f}s left)"}) + "\n")
@@ -427,10 +431,18 @@ def main():
         timeout_s = min(timeout_s, remaining() - 60)
 
         def attempt(extra_env=None):
+            # re-check the wall budget per attempt: the kernel-gate retry
+            # must not let one secondary spend ~2x its clamped timeout and
+            # overrun budget_s (losing every remaining secondary to the
+            # driver's own SIGTERM)
+            t_left = remaining() - 60
+            if t_left < min(timeout_s, min_s):
+                raise RuntimeError("budget exhausted before attempt")
             env = dict(os.environ, **(extra_env or {}))
             p = subprocess.run(
                 [sys.executable, __file__, "--run-secondary", key],
-                capture_output=True, text=True, timeout=timeout_s, env=env)
+                capture_output=True, text=True,
+                timeout=min(timeout_s, t_left), env=env)
             sys.stderr.write(p.stderr)
             if p.returncode != 0:
                 raise RuntimeError(f"rc={p.returncode}")
@@ -482,7 +494,7 @@ def main():
         # time_kernel compiles TWO fori-loop wrappers of the flagship graph
         # (k_pair), each a ~5-7 min axon compile: budget generously
         secondary("flagship 64ch fastddc D=50 + BPSK31 modems",
-                  "flagship", 2400,
+                  "flagship", 2400, min_s=1500,
                   x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     ddc_ref1 = bench_ref_fastddc()
     # the reference serves 64 channels with 1 fwd + 64 inv processes; its

@@ -180,7 +180,12 @@ def variants_sweep():
         try:
             kout2 = 512 * 128 // 8
             n2 = kout2 * d2
-            tail2 = ((t2 - 1 + d2 - 1) // d2) * d2
+            # size to the kernel's FULL need at the capped jb (kout rounds
+            # up to a jb*128 grid): no in-call zero-pad in the timed loop
+            jb2 = fp._default_jb(d2, t2, kout2)
+            kout2_pad = -(-kout2 // (jb2 * 128)) * (jb2 * 128)
+            tail2 = max(((t2 - 1 + d2 - 1) // d2) * d2,
+                        (kout2_pad // 128 + 8) * 128 * d2 - n2)
             taps2 = np.asarray(firdes.firdes_lowpass_f(t2, 0.5 / d2),
                                np.float32)
             x2 = CF(jax.numpy.asarray(
@@ -193,7 +198,6 @@ def variants_sweep():
             rr = np.asarray(jax.device_get(refd.re))
             ri = np.asarray(jax.device_get(refd.im))
             p2 = float(np.mean(rr**2 + ri**2))
-            jb2 = fp._default_jb(d2, t2, kout2)
             y2 = fp.fir_decimate_vmem(x2, taps2, d2, kout2, "HIGH")
             e2 = float(np.mean((np.asarray(jax.device_get(y2.re)) - rr)**2
                                + (np.asarray(jax.device_get(y2.im)) - ri)**2))

@@ -29,16 +29,16 @@ def main():
 
     # 1) identity kernel: measures pure perturb+scalarize overhead per call
     ident = lambda x: x
-    for mode in ("add", "dus"):
+    for mode in ("add", "dus", "rotate"):
         per = time_kernel(ident, x, k_pair=(512, 8192), perturb=mode)
         print(json.dumps({"exp": "identity", "perturb": mode,
                           "us_per_call": round(per * 1e6, 2),
                           "note": "x is 5.25MB; fused-read floor ~7us, "
                                   "materialized-copy ~21us"}), flush=True)
 
-    # 2) the FIR headline kernel under both schemes
+    # 2) the FIR headline kernel under the schemes
     prec = jax.lax.Precision.HIGH
-    for mode in ("add", "dus"):
+    for mode in ("add", "dus", "rotate"):
         per = time_kernel(lambda x: fir_decimate_best(x, taps, d, kout, prec),
                           x, k_pair=(512, 8192), perturb=mode)
         print(json.dumps({"exp": "fir_decimate_HIGH", "perturb": mode,

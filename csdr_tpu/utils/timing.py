@@ -58,6 +58,38 @@ def time_kernel(kernel: Callable, x, reps: int = 3,
         return 1.0
 
     def make(k):
+        if perturb == "rotate":
+            # Honest HBM-streaming measurement: S identical copies of x
+            # ride an HBM stack sized past VMEM (>=48MB), and iteration i
+            # consumes slice i % S via dynamic_index (loop-dependent, so
+            # the kernel cannot hoist).  Unlike 'dus', the consumed buffer
+            # can never go VMEM-resident across iterations (a small
+            # loop-carried x can: the identity kernel at 5.25MB measured
+            # 3.6us = 1.46 TB/s apparent read on a 745 GB/s chip), and
+            # unlike 'add' there is no extra copy pass: each slice read IS
+            # the streaming pattern production chunks see.  No eps either —
+            # numerically pristine.
+            leaves = jax.tree_util.tree_leaves(x)
+            xbytes = sum(l.size * l.dtype.itemsize for l in leaves)
+            s = max(2, -(-48 * 2**20 // max(xbytes, 1)))
+            s = min(s, 64)
+            xs = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (s,) + a.shape), x)
+            # materialize (broadcast_to is a view; the stack must live in
+            # HBM so each slice read is a real HBM read)
+            xs = jax.tree_util.tree_map(lambda a: a + jnp.zeros((), a.dtype),
+                                        xs)
+
+            @jax.jit
+            def run(xs, aux_in, seed):
+                def body(i, acc):
+                    xp = jax.tree_util.tree_map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, i % s, 0, keepdims=False), xs)
+                    y = kernel(xp, aux_in) if aux is not None else kernel(xp)
+                    return acc + _scalarize(y)
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+            return lambda x_, aux_in, seed: run(xs, aux_in, seed)
         if perturb == "dus":
             # i-dependent 1e-30 single-element update: numerically invisible
             # but NOT foldable, so XLA cannot hoist the kernel out of the

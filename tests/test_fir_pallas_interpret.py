@@ -80,8 +80,7 @@ def test_vmem_jb_cap_budget():
     # ADVICE r2: jb must shrink with 128*d so the double-buffered input
     # blocks + resident weights stay inside the ~16 MB VMEM core budget.
     assert fp._vmem_jb_cap(10, 1023) == 256      # d=10 fits the jb=256 winner
-    caps = [fp._vmem_jb_cap(d, min(129 * d, 128 * d)) for d in
-            (10, 32, 64, 80)]
+    caps = [fp._vmem_jb_cap(d, 128 * d) for d in (10, 32, 64, 80)]
     assert caps == sorted(caps, reverse=True)    # monotone non-increasing
     for d, t in [(64, 8192), (80, 10240)]:
         cap = fp._vmem_jb_cap(d, t)
