@@ -480,8 +480,6 @@ def main():
               x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     secondary("SSB receiver end-to-end", "ssb", 1500,
               x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
-    secondary("AM receiver end-to-end", "am", 1500,
-              x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     # frames=2500 -> 100 rows per class matmul: the classed inverse is
     # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
     # round-1 limiter (505 -> ~1700 Msps)
@@ -508,6 +506,11 @@ def main():
               roofline=_fastddc_account(16, 64, 1024))
     secondary("fastddc 256-channel channelizer wideband throughput",
               "fastddc256", 1500)
+    # AM runs LAST: wedge events have clustered around AM-chain benches
+    # (3 of 8 observed, incl. one clean standalone run — probabilistic at
+    # most, but a wedge here must not cost the higher-value metrics above)
+    secondary("AM receiver end-to-end", "am", 1500,
+              x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     # the LAST stdout line is what the driver records: the headline, now
     # carrying every completed secondary
     flush_headline()
