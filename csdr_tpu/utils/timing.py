@@ -59,16 +59,19 @@ def time_kernel(kernel: Callable, x, reps: int = 3,
 
     def make(k):
         if perturb == "rotate":
-            # Honest HBM-streaming measurement: S identical copies of x
-            # ride an HBM stack sized past VMEM (>=48MB), and iteration i
-            # consumes slice i % S via dynamic_index (loop-dependent, so
-            # the kernel cannot hoist).  Unlike 'dus', the consumed buffer
-            # can never go VMEM-resident across iterations (a small
-            # loop-carried x can: the identity kernel at 5.25MB measured
-            # 3.6us = 1.46 TB/s apparent read on a 745 GB/s chip), and
-            # unlike 'add' there is no extra copy pass: each slice read IS
-            # the streaming pattern production chunks see.  No eps either —
-            # numerically pristine.
+            # Streaming-faithful in principle: S identical copies of x ride
+            # an HBM stack sized past VMEM (>=48MB); iteration i consumes
+            # slice i % S via dynamic_index (loop-dependent, so the kernel
+            # cannot hoist), so the consumed buffer can never go
+            # VMEM-resident across iterations and there is no eps at all.
+            # MEASURED LOSER ON AXON (2026-08-19 A/B): the traced-start
+            # dynamic_slice materializes a copy per iteration at ~170 GB/s
+            # (identity 61 us, FIR 93 us vs dus 3.7/13.9) — the same
+            # dynamic-indexing pathology CLAUDE.md documents.  Kept for
+            # backends with cheap dynamic slicing and for A/B; on TPU use
+            # 'dus' and size bench inputs past VMEM when residency matters
+            # (the affected small-input benches' residency upside is <=3%
+            # of per-call time — input_bytes/hbm_bw vs per_call).
             leaves = jax.tree_util.tree_leaves(x)
             xbytes = sum(l.size * l.dtype.itemsize for l in leaves)
             s = max(2, -(-48 * 2**20 // max(xbytes, 1)))
