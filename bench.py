@@ -139,6 +139,40 @@ def bench_tpu_wfm(n=2_400_000):
     return n / per / 1e6
 
 
+def bench_tpu_wfm_basic(n=2_400_000):
+    """WFM basic receiver (BASELINE config 1): fmdemod_quadri_cf |
+    fractional_decimator_ff 5 | deemphasis_wfm_ff at the 240 ksps demod
+    rate (the u8->f conversion is a host-edge op)."""
+    from csdr_tpu.core import cplx
+    from csdr_tpu.models import wfm
+    from csdr_tpu.utils.timing import time_kernel
+
+    rng = np.random.default_rng(0)
+    x = cplx.from_numpy((rng.standard_normal(n) +
+                         1j * rng.standard_normal(n)).astype(np.complex64))
+    pipe = wfm.wfm_basic()
+    st = pipe.init()
+    per = time_kernel(lambda x: pipe.apply(st, x)[1].data, x,
+                      k_pair=(64, 512))
+    return n / per / 1e6
+
+
+def bench_tpu_nfm(n=2_400_000):
+    """NFM receiver (BASELINE config 3): fir_decimate_cc 50 | fmdemod |
+    limit_ff | deemphasis_nfm_ff | fastagc_ff."""
+    from csdr_tpu.core import cplx
+    from csdr_tpu.models import receivers
+    from csdr_tpu.utils.timing import time_kernel
+
+    rng = np.random.default_rng(0)
+    x = cplx.from_numpy((rng.standard_normal(n) +
+                         1j * rng.standard_normal(n)).astype(np.complex64))
+    pipe = receivers.nfm_receiver()
+    st = pipe.init()
+    per = time_kernel(lambda x: pipe.apply(st, x)[1], x, k_pair=(16, 128))
+    return n / per / 1e6
+
+
 def bench_tpu_ssb(chunks=270):
     """End-to-end SSB receiver (BASELINE config 4, reference README.md:110):
     fir_decimate_cc 50 | bandpass_fir_fft_cc 0 0.1 | realpart_cf | agc_ff |
@@ -480,6 +514,12 @@ def main():
               x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     secondary("SSB receiver end-to-end", "ssb", 1500,
               x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
+    # configs 1 and 3 round out all five BASELINE workloads in the driver
+    # record; both are small-compile chains (~1 min)
+    secondary("WFM basic receiver (240 ksps demod chain)", "wfm_basic", 900,
+              x_realtime_240ksps=lambda v: round(v / 0.24, 0))
+    secondary("NFM receiver end-to-end", "nfm", 900,
+              x_realtime_2p4Msps=lambda v: round(v / 2.4, 0))
     # frames=2500 -> 100 rows per class matmul: the classed inverse is
     # MXU-efficiency-bound, and skinny-M (frames/25-row) matmuls were the
     # round-1 limiter (505 -> ~1700 Msps)
@@ -518,6 +558,8 @@ def main():
 
 _SECONDARIES = {
     "wfm": bench_tpu_wfm,
+    "wfm_basic": bench_tpu_wfm_basic,
+    "nfm": bench_tpu_nfm,
     "ssb": bench_tpu_ssb,
     "am": bench_tpu_am,
     "fastddc50": lambda: bench_tpu_fastddc(decimation=50, frames=2500),

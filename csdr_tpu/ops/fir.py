@@ -178,43 +178,102 @@ def plain_interpolate_cc(x: CF, interpolation: int) -> CF:
     return CF(yr.reshape(-1), yi.reshape(-1))
 
 
+def _stride1_slabs(x, slab_len: int, jn: int, r: int = 128):
+    """Toeplitz slab rows for a stride-1 tile-R FIR: S[j, :] =
+    x[j*r : j*r + slab_len], built from static shifted reshapes (layout ops
+    only, no gather).  Same construction as the decimating Toeplitz kernel
+    (kernels/fir_pallas._fir_decimate_toeplitz) at D=1."""
+    n_slices = -(-slab_len // r)
+    need = (n_slices - 1 + jn) * r
+    if x.shape[0] < need:
+        x = jnp.concatenate([x, jnp.zeros((need - x.shape[0],), x.dtype)])
+    cols = []
+    for c in range(n_slices):
+        width = min(r, slab_len - c * r)
+        seg = (jax.lax.dynamic_slice(x, (c * r,), (jn * r,)) if c
+               else x[: jn * r])
+        cols.append(seg.reshape(jn, r)[:, :width])
+    return jnp.concatenate(cols, axis=1)          # (jn, slab_len)
+
+
+def _stride1_toeplitz_w(taps_np: np.ndarray, r: int = 128):
+    from csdr_tpu.kernels.fir_pallas import _toeplitz_w
+    return _toeplitz_w(np.asarray(taps_np, np.float32), 1, r)
+
+
+def _use_stride1_toeplitz(taps_leaves, t: int, k: int) -> bool:
+    """The frames-stack form materializes a (K, T) slab — T HBM passes over
+    the stream — feeding an N=1 matvec; the Toeplitz tile form reads the
+    stream ~slab_len/128 times into one proper (K/128, slab_len) @ 128-lane
+    MXU matmul (measured 80.8 -> ~3 us on the 53-tap WFM de-emphasis at
+    48k samples).  Needs concrete taps (the W matrix is host-built)."""
+    return (t >= 16 and k >= 128
+            and not any(isinstance(l, jax.core.Tracer) for l in taps_leaves))
+
+
 def apply_fir_cc(x: CF, taps: CF, precision=DEFAULT_PRECISION) -> CF:
     """Valid-mode FIR with COMPLEX taps on complex input
     (reference libcsdr.c:2261-2273): y[i] = sum_t x[i+t]*taps[t]
-    (complex multiply, no conjugate).  frames @ taps on the MXU — stride-1
-    XLA convs lower pathologically on this TPU backend."""
+    (complex multiply, no conjugate).  Toeplitz tile matmul for long
+    concrete taps, else frames @ taps — a stride-1 XLA conv lowers
+    pathologically on this TPU backend."""
     t = taps.shape[0]
     k = x.shape[0] - t + 1
-    fr = _frames(x.re, k, t)
-    fi = _frames(x.im, k, t)
     dot = lambda a, b: jnp.dot(a, b, precision=precision,
                                preferred_element_type=jnp.float32)
+    if _use_stride1_toeplitz((taps.re, taps.im), t, k):
+        wr = jnp.asarray(_stride1_toeplitz_w(np.asarray(taps.re)))
+        wi = jnp.asarray(_stride1_toeplitz_w(np.asarray(taps.im)))
+        jn = -(-k // 128)
+        sr = _stride1_slabs(x.re, wr.shape[0], jn)
+        si = _stride1_slabs(x.im, wr.shape[0], jn)
+        yr = (dot(sr, wr) - dot(si, wi)).reshape(-1)[:k]
+        yi = (dot(sr, wi) + dot(si, wr)).reshape(-1)[:k]
+        return CF(yr, yi)
+    fr = _frames(x.re, k, t)
+    fi = _frames(x.im, k, t)
     return CF(dot(fr, taps.re) - dot(fi, taps.im),
               dot(fr, taps.im) + dot(fi, taps.re))
 
 
 def apply_real_fir_cc(x: CF, taps, precision=DEFAULT_PRECISION) -> CF:
     """Valid-mode real-tap FIR on complex input (reference libcsdr.c:2276-2291).
-    frames @ taps on the MXU (stride-1 conv avoidance, see apply_fir_cc)."""
+    Toeplitz tile matmul / frames @ taps (see apply_fir_cc)."""
     taps = jnp.asarray(taps, jnp.float32)
     t = taps.shape[0]
     k = x.shape[0] - t + 1
     if k <= 0:
         return fir_decimate_cc(x, taps, 1, precision)
+    if _use_stride1_toeplitz((taps,), t, k):
+        w = jnp.asarray(_stride1_toeplitz_w(np.asarray(taps)))
+        jn = -(-k // 128)
+        dot = lambda s: jnp.dot(s, w, precision=precision,
+                                preferred_element_type=jnp.float32)
+        return CF(dot(_stride1_slabs(x.re, w.shape[0], jn)).reshape(-1)[:k],
+                  dot(_stride1_slabs(x.im, w.shape[0], jn)).reshape(-1)[:k])
     dot = lambda a: jnp.dot(_frames(a, k, t), taps, precision=precision,
                             preferred_element_type=jnp.float32)
     return CF(dot(x.re), dot(x.im))
 
 
 def apply_real_fir_ff(x, taps, precision=DEFAULT_PRECISION):
-    """Valid-mode real FIR as frames @ taps on the MXU — a stride-1 XLA
-    conv lowers ~1000x slower on this TPU backend."""
+    """Valid-mode real FIR: Toeplitz tile matmul for long concrete taps,
+    else frames @ taps — a stride-1 XLA conv lowers ~1000x slower on this
+    TPU backend, and the frames stack itself costs T passes over the
+    stream (see _use_stride1_toeplitz)."""
     taps = jnp.asarray(taps, jnp.float32)
     t = taps.shape[0]
     k = x.shape[0] - t + 1
     if k <= 0:
         return fir_decimate_ff(x, taps, 1, precision)
-    return jnp.dot(_frames(jnp.asarray(x, jnp.float32), k, t), taps,
+    x = jnp.asarray(x, jnp.float32)
+    if _use_stride1_toeplitz((taps,), t, k):
+        w = jnp.asarray(_stride1_toeplitz_w(np.asarray(taps)))
+        jn = -(-k // 128)
+        slabs = _stride1_slabs(x, w.shape[0], jn)
+        return jnp.dot(slabs, w, precision=precision,
+                       preferred_element_type=jnp.float32).reshape(-1)[:k]
+    return jnp.dot(_frames(x, k, t), taps,
                    precision=precision, preferred_element_type=jnp.float32)
 
 

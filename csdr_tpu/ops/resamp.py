@@ -77,27 +77,38 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
             rate, q_den, p, xifirst, xs_np, taps_j, t_len, margin,
             out_capacity)
 
+    # Fixed-size carried tail instead of an (margin + n) ring buffer: the
+    # stream's last `margin` samples always live in xcat[n : n + margin]
+    # (a STATIC slice), and the unconsumed region starts at the traced
+    # offset base = margin - occ.  The r2 form needed FOUR traced-start
+    # passes over ~chunk-size buffers per call (dynamic_update_slice fill,
+    # pad concat, read slice, consume roll) — ~50 us at 240k samples on
+    # axon; this form needs ONE traced-start read.
     def init():
-        return None  # lazily sized on first chunk
-
-    def _mk_state(n):
-        buf = jnp.zeros((margin + n,), jnp.float32)
-        return (buf, jnp.int32(0), jnp.float32(-xifirst))
+        return (jnp.zeros((margin,), jnp.float32), jnp.int32(0),
+                jnp.float32(-xifirst))
 
     def apply(state, x):
         n = x.shape[0]
         cap = out_capacity or int(n / rate) + 2
-        if state is None:
-            state = _mk_state(n)
-        buf, occ, where = state
-        buf = jax.lax.dynamic_update_slice(buf, x.astype(jnp.float32), (occ,))
+        tail, occ, where = state
+        base = margin - occ                       # traced stream offset
         size = occ + n
-        # prefiltered stream: pre[i] = sum_t taps[t]*buf[i+t]
+        # static pad so every traced-start read below stays in bounds
+        # (dynamic_slice CLAMPS out-of-range starts — silently wrong data):
+        # reads reach base + s0 + cap_read*ceil(rate) <= margin + (p+4) + that,
+        # with cap_read = cap rounded up to the integer path's 128-row tile.
+        r_ceil = int(np.ceil(rate))
+        cap_read = -(-cap // 128) * 128
+        pad_extra = max(16, cap_read * r_ceil - n + p + t_len + r_ceil + 16)
+        xcat = jnp.concatenate([tail, x.astype(jnp.float32),
+                                jnp.zeros((pad_extra,), jnp.float32)])
+        # prefiltered stream: pre[i] = sum_t taps[t]*xcat[i+t]
         if taps_j is None:
-            pre = buf
+            pre = xcat
         else:
             from csdr_tpu.ops.fir import apply_real_fir_ff
-            pre = apply_real_fir_ff(buf, taps_j)
+            pre = apply_real_fir_ff(xcat, taps_j)
         k = jnp.arange(cap, dtype=jnp.float32)
         wh = where + k * jnp.float32(rate)
         index_high = jnp.ceil(wh).astype(jnp.int32)
@@ -109,17 +120,22 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
             # y[k] = pre[wh[k] - xifirst].  dynamic_slice + static stride
             # replaces the (cap, P) gather, which is pathologically slow
             # on TPU (same fix as ops/shift.decimating_shift_cc).
+            # The subsample itself is a (rows, r*128) @ one-hot (r*128, 128)
+            # MXU matmul: a (cap, r) reshape would pad its r lanes to the
+            # 128-lane tile — a ~25x relayout blowup measured at ~50 us for
+            # 240k samples; keeping the lane dim a 128-multiple makes the
+            # whole op ~3 passes over the stream.
             r_int = int(rate)
-            s0 = jnp.ceil(where).astype(jnp.int32) - xifirst
-            pre_pad = jnp.concatenate(
-                [pre, jnp.zeros((cap * r_int,), pre.dtype)])
-            base = jax.lax.dynamic_slice(pre_pad, (s0,), (cap * r_int,))
-            # subsample as reshape @ one-hot: plain strided slices lower
-            # ~5x slower than this degenerate matmul on this backend
-            e0 = jnp.zeros((r_int,), jnp.float32).at[0].set(1.0)
-            y = jnp.dot(base.reshape(cap, r_int), e0,
+            cap_pad = -(-cap // 128) * 128
+            s0 = jnp.ceil(where).astype(jnp.int32) - xifirst + base
+            win = jax.lax.dynamic_slice(pre, (s0,), (cap_pad * r_int,))
+            e_np = np.zeros((r_int * 128, 128), np.float32)
+            e_np[np.arange(128) * r_int, np.arange(128)] = 1.0
+            y = jnp.dot(win.reshape(cap_pad // 128, r_int * 128),
+                        jnp.asarray(e_np),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
+            y = y.reshape(-1)[:cap]
         else:
             fd_low = index_high - 1
             xwhere = wh - fd_low.astype(jnp.float32)
@@ -131,8 +147,8 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
                 mask[i] = False
                 cols.append(jnp.prod(diff[:, mask], axis=1))
             coeffs = jnp.stack(cols, axis=1) / den[None, :]
-            gidx = jnp.clip(fd_low[:, None] + jnp.arange(p)[None, :], 0,
-                            pre.shape[0] - 1)
+            gidx = jnp.clip(base + fd_low[:, None] + jnp.arange(p)[None, :],
+                            0, pre.shape[0] - 1)
             y = jnp.sum(coeffs * pre[gidx], axis=1).astype(jnp.float32)
         y = jnp.where(valid, y, 0.0)
         count = jnp.sum(valid.astype(jnp.int32))
@@ -145,10 +161,8 @@ def fractional_decimator_block(rate: float, num_poly_points: int = 12,
         input_processed = jnp.maximum((ih_exit - 1) + xifirst, 0)
         new_where = where + count.astype(jnp.float32) * jnp.float32(rate) - input_processed.astype(jnp.float32)
         new_occ = size - input_processed
-        # roll consumed samples out of the buffer
-        buf = jax.lax.dynamic_slice(
-            jnp.concatenate([buf, jnp.zeros_like(buf)]), (input_processed,), (buf.shape[0],))
-        return (buf, new_occ, new_where), VarOut(y, count)
+        new_tail = jax.lax.slice_in_dim(xcat, n, n + margin)
+        return (new_tail, new_occ, new_where), VarOut(y, count)
 
     return Block("fractional_decimator_ff", init, apply, rate_ratio=None)
 
@@ -199,12 +213,12 @@ def _fractional_decimator_rational_block(rate, q_den, p, xifirst, xs_np,
             wmat_np[g * num + offs[qc]: g * num + offs[qc] + p,
                     g * q_den + qc] = coefs[qc]
 
+    # Fixed-size carried tail (see fractional_decimator_block's generic
+    # apply): ONE traced-start read per call instead of four traced-start
+    # buffer passes.
     def init():
-        return None
-
-    def _mk_state(n):
-        buf = jnp.zeros((margin + n,), jnp.float32)
-        return (buf, jnp.int32(0), jnp.float32(-xifirst))
+        return (jnp.zeros((margin,), jnp.float32), jnp.int32(0),
+                jnp.float32(-xifirst))
 
     def apply(state, x):
         n = x.shape[0]
@@ -216,28 +230,28 @@ def _fractional_decimator_rational_block(rate, q_den, p, xifirst, xs_np,
         cap = out_capacity or int(n / rate) + q_den + 2
         # capacity rounded to whole slab rows of g_grp*q_den outputs
         rows = -(-cap // (g_grp * q_den))
-        if state is None:
-            state = _mk_state(n)
-        buf, occ, where = state
-        buf = jax.lax.dynamic_update_slice(buf, x.astype(jnp.float32), (occ,))
+        tail, occ, where = state
+        base = margin - occ                       # traced stream offset
         size = occ + n
-        if taps_j is None:
-            pre = buf
-        else:
-            from csdr_tpu.ops.fir import apply_real_fir_ff
-            pre = apply_real_fir_ff(buf, taps_j)
-        w_int = jnp.round(where).astype(jnp.int32)
         # slab source: pre from W-1 onward.  The c-th shifted-reshape slice
         # reads ps[c*rd : c*rd + rows*rd], so ps must span
-        # (n_slices-1 + rows)*rd — sizing it to just the last slab's end
-        # makes the out-of-range dynamic_slice CLAMP its start and fill the
-        # tail slab columns with data from the wrong offset.
+        # (n_slices-1 + rows)*rd — sizing it short makes the out-of-range
+        # dynamic_slice CLAMP its start and fill the tail slab columns with
+        # data from the wrong offset; pad xcat so b0 + ps_len always fits.
         rd = g_grp * num
         n_slices = -(-slab_len // rd)
         ps_len = (n_slices - 1 + rows) * rd
-        pre_pad = jnp.concatenate([pre, jnp.zeros((ps_len,), pre.dtype)])
-        b0 = jnp.maximum(w_int - 1, 0)
-        ps = jax.lax.dynamic_slice(pre_pad, (b0,), (ps_len,))
+        pad_extra = max(16, ps_len - n + p + t_len + 16)
+        xcat = jnp.concatenate([tail, x.astype(jnp.float32),
+                                jnp.zeros((pad_extra,), jnp.float32)])
+        if taps_j is None:
+            pre = xcat
+        else:
+            from csdr_tpu.ops.fir import apply_real_fir_ff
+            pre = apply_real_fir_ff(xcat, taps_j)
+        w_int = jnp.round(where).astype(jnp.int32)
+        b0 = base + jnp.maximum(w_int - 1, 0)
+        ps = jax.lax.dynamic_slice(pre, (b0,), (ps_len,))
         cols = []
         for c in range(n_slices):
             width = min(rd, slab_len - c * rd)
@@ -264,10 +278,8 @@ def _fractional_decimator_rational_block(rate, q_den, p, xifirst, xs_np,
         new_where = (where + cnum.astype(jnp.float32)
                      - input_processed.astype(jnp.float32))
         new_occ = size - input_processed
-        buf = jax.lax.dynamic_slice(
-            jnp.concatenate([buf, jnp.zeros_like(buf)]),
-            (input_processed,), (buf.shape[0],))
-        return (buf, new_occ, new_where), VarOut(y, count)
+        new_tail = jax.lax.slice_in_dim(xcat, n, n + margin)
+        return (new_tail, new_occ, new_where), VarOut(y, count)
 
     return Block("fractional_decimator_ff", init, apply, rate_ratio=None)
 

@@ -72,3 +72,33 @@ def test_apply_fir_cc_complex_taps():
     # straightforward numpy model
     ref = np.array([np.sum(x[i:i + 31] * taps) for i in range(len(x) - 30)])
     assert_snr(ref, ours, 95, "apply_fir_cc")
+
+
+@pytest.mark.parametrize("n,t", [(2000, 53), (300, 17), (2000, 12), (90, 40)])
+def test_apply_real_fir_ff_toeplitz_matches_frames(n, t):
+    # the stride-1 Toeplitz tile path (t >= 16, k >= 128) and the frames
+    # fallback must agree with the direct model across both regimes
+    x = real_noise(n, seed=7)
+    taps = real_noise(t, seed=8)
+    ours = to_host(fir.apply_real_fir_ff(to_dev(x), to_dev(taps)))
+    k = n - t + 1
+    ref = np.array([x[i:i + t] @ taps for i in range(k)])
+    assert ours.shape == (k,)
+    assert_snr(ref, ours, 110, f"apply_real_fir_ff n={n} t={t}")
+
+
+def test_apply_fir_cc_toeplitz_long_taps():
+    # k >= 128 and t >= 16 engages the Toeplitz tile path for complex taps
+    taps = firdes.firdes_bandpass_c(63, -0.15, 0.25)
+    x = cplx_noise(1500, seed=21)
+    ours = to_host(fir.apply_fir_cc(to_dev(x), to_dev(taps)))
+    ref = np.array([np.sum(x[i:i + 63] * taps) for i in range(len(x) - 62)])
+    assert_snr(ref, ours, 95, "apply_fir_cc toeplitz")
+
+
+def test_apply_real_fir_cc_toeplitz_long_taps():
+    taps = real_noise(53, seed=22)
+    x = cplx_noise(1200, seed=23)
+    ours = to_host(fir.apply_real_fir_cc(to_dev(x), to_dev(taps)))
+    ref = np.array([np.sum(x[i:i + 53] * taps) for i in range(len(x) - 52)])
+    assert_snr(ref, ours, 95, "apply_real_fir_cc toeplitz")
