@@ -228,7 +228,12 @@ def bench_tpu_flagship(frames_target=1475):
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("chan", "time"))
     rng = np.random.default_rng(3)
     rates = rng.uniform(-0.35, 0.35, 64)
-    init, step, meta = multichannel.build_ddc_bpsk31_bank(mesh, rates, 50, 256)
+    # segmented Gardner (ops/sync.py segments>1, BER-certified vs serial in
+    # tests/test_segmented_ted.py) shortens the modem scan ~S x — the
+    # flagship's wall; CSDR_FLAGSHIP_SEGMENTS=1 restores the serial loop
+    segs = int(os.environ.get("CSDR_FLAGSHIP_SEGMENTS", "1"))
+    init, step, meta = multichannel.build_ddc_bpsk31_bank(
+        mesh, rates, 50, 256, tr_segments=segs)
     q, ins = meta["q"], meta["input_size"]
     frames = (frames_target // q) * q
     n = frames * ins
@@ -319,8 +324,12 @@ def main():
     # not the headline).  Manage the budget ourselves: skip secondaries
     # that no longer fit, and ALWAYS re-print the headline as the final
     # stdout line — including on SIGTERM.
+    # Default 2650: the r2/r3 driver runs both ended rc=124 — the driver's
+    # own timeout (~3000 s, clocked from process EXEC) fired while the
+    # self-budget (clocked from main(), i.e. after the 30-90 s axon jax
+    # import) still had time left.  Leave that import + exit margin.
     t_start = time.time()
-    budget_s = float(os.environ.get("CSDR_BENCH_BUDGET_S", "3000"))
+    budget_s = float(os.environ.get("CSDR_BENCH_BUDGET_S", "2650"))
 
     def remaining():
         return budget_s - (time.time() - t_start)

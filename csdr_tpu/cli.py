@@ -470,7 +470,8 @@ USAGE = {
     "timing_recovery_cc":
         "timing_recovery_cc (GARDNER|EARLYLATE) <decimation> [loop_gain "
         "[max_error]] [--add_q] [--output_error|--output_indexes] "
-        "[--octave <show_every_nth>] [--octave_save <path_prefix>]",
+        "[--octave <show_every_nth>] [--octave_save <path_prefix>] "
+        "[--segments <n>]",
     "bpsk_costas_loop_cc":
         "bpsk_costas_loop_cc [loop_bandwidth [damping_factor]] [--dd]",
     "pll_cc": "pll_cc (1 [alpha] | 2 [bandwidth]) [--nco]",
@@ -1594,7 +1595,7 @@ def _c_timing(args):
             skip = False
             continue
         if a.startswith("--"):
-            skip = a in ("--octave_save",)   # flags that take a value
+            skip = a in ("--octave_save", "--segments")  # flags with a value
             continue
         pos.append(a)
     gain = float(pos[0]) if len(pos) > 0 else 0.5
@@ -1641,7 +1642,14 @@ def _c_timing(args):
         pump(Block("timing_octave", blk.init, apply), "c", "u32",
              quantum=decim, jit=False)
         return
-    blk = sync.timing_recovery_block(alg, decim, gain, max_err, use_q, output)
+    # --segments N (extension): TPU-parallel overlap-discard mode — the
+    # per-symbol scan shortens ~N x; BER-certified vs the serial loop
+    # (ops/sync.py, tests/test_segmented_ted.py).  Default 1 = reference
+    # serial semantics.
+    segs = (int(args[args.index("--segments") + 1])
+            if "--segments" in args else 1)
+    blk = sync.timing_recovery_block(alg, decim, gain, max_err, use_q, output,
+                                     segments=segs)
     ofmt = "c" if output == "symbols" else ("f" if output == "error" else "u32")
     pump(blk, "c", ofmt, quantum=decim)
 

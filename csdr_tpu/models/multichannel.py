@@ -27,7 +27,8 @@ from csdr_tpu.parallel import sharded_ddc
 
 def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
                           sps: int = 256, use_costas: bool = False,
-                          costas_bw: float = 2 * np.pi / 100):
+                          costas_bw: float = 2 * np.pi / 100,
+                          tr_segments: int = 1):
     """Returns (init, step): step(state, x CF wideband P('time')) ->
     (state', (bits (C, cap) u8, counts (C,))).
 
@@ -38,6 +39,10 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
     (carrier recovery for mistuned channels — config 5's "Costas/Gardner").
     The Costas scan runs per channel sample, so enable it at low channel
     rates; the DBPSK decode itself needs no carrier lock.
+    tr_segments: >1 runs the Gardner TED in the overlap-discard segmented
+    mode (ops/sync.py) — the per-symbol scan shortens ~tr_segments x, the
+    modem's wall-clock wall on TPU (BER-certified vs the serial loop in
+    tests/test_segmented_ted.py).
     """
     ddc = fd.fastddc_init(0.05, decimation)
     bank_step, meta = sharded_ddc.build_ddc_bank_step(mesh, ddc, shift_rates)
@@ -45,7 +50,8 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
     n_chan = mesh.shape["chan"]
 
     tr = sync.timing_recovery_block("GARDNER", sps, loop_gain=0.5,
-                                    max_error=2.0, use_q=True)
+                                    max_error=2.0, use_q=True,
+                                    segments=tr_segments)
     if use_costas:
         cl_alpha, cl_beta, cl_dmax = sync.costas_loop_params(costas_bw)
 
@@ -152,11 +158,13 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
 
 
 def example_flagship(mesh: Mesh, frames_per_shard: int = 4, c_total: int = 8,
-                     decimation: int = 16, sps: int = 256):
+                     decimation: int = 16, sps: int = 256,
+                     tr_segments: int = 1):
     """Build + example input for compile checks / dryrun."""
     rng = np.random.default_rng(3)
     rates = rng.uniform(-0.35, 0.35, c_total)
-    init, step, meta = build_ddc_bpsk31_bank(mesh, rates, decimation, sps)
+    init, step, meta = build_ddc_bpsk31_bank(mesh, rates, decimation, sps,
+                                             tr_segments=tr_segments)
     n = mesh.shape["time"] * frames_per_shard * meta["input_size"]
     x = CF(jnp.asarray(rng.standard_normal(n), jnp.float32),
            jnp.asarray(rng.standard_normal(n), jnp.float32))

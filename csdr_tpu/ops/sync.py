@@ -167,13 +167,29 @@ EARLYLATE = "EARLYLATE"
 
 def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.5,
                           max_error: float = 2.0, use_q: bool = False,
-                          output: str = "symbols") -> Block:
+                          output: str = "symbols", segments: int = 1,
+                          warmup_symbols: int = 32) -> Block:
     """Non-data-aided symbol synchronizer (reference timing_recovery_cc,
     libcsdr.c:1977-2072), decimation = samples/symbol (divisible by 4).
 
     Data-dependent stride (bitstart += decimation + correction) -> lax.scan
     over symbol slots with a carried input buffer, VarOut outputs
     (SURVEY.md §7 "hard parts" #1).  output: 'symbols' | 'error' | 'indexes'.
+
+    segments > 1 enables the overlap-discard segmented mode (the feedback-
+    loop analog of overlap-save): the chunk's sample range is split into
+    ``segments`` position spans scanned IN PARALLEL (one vmapped scan of
+    ~cap/segments steps instead of a cap-step serial scan — on TPU the
+    per-symbol scan is dispatch-latency-bound, so wall-clock drops ~S x).
+    Segment s>0 starts ``warmup_symbols`` symbols before its span and
+    discards them while the loop acquires; a converged loop's integer
+    trajectory coalesces with the serial one, so emitted symbols match the
+    serial mode after lock (tested on the BPSK31 fixture).  Segment 0 and
+    the streaming carry (buffer/occ/corr) continue the previous chunk
+    exactly.  Caveat: a loop railed hard enough to stall inside one span
+    loses that span's remainder instead of lagging — the drop-oldest
+    overload policy, applied per span.  The default segments=1 is the
+    exact reference-parity serial scan.
     """
     assert decimation % 4 == 0, "decimation must be divisible by 4"
     nsb = decimation
@@ -183,6 +199,16 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
     gardner = algorithm.upper() == GARDNER
     err_sign = -1.0 if gardner else 1.0
     margin = 4 * nsb
+    assert segments >= 1
+    # sample picks relative to bitstart: (right, left, mid); the emitted
+    # symbol is left for Gardner, mid for early-late (reference :2006-2031)
+    if gardner:
+        offs_np = np.array([nshb * 3, nshb, nshb * 2], np.int32)
+        out_slot = 1
+    else:
+        offs_np = np.array([wing * 3, wing, nshb], np.int32)
+        out_slot = 2
+    corr_sel = np.array([0, 1, 0], np.int32)    # early-late: left -= corr
 
     def init(n: int | None = None):
         # lazy by default (buffer sized from the first chunk); pass the
@@ -191,6 +217,57 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
 
     def _mk(n):
         return (CF.zeros((n + margin,)), jnp.int32(0), jnp.int32(0))
+
+    def _shift_left(a, k):
+        """a shifted left by traced k, zero-filled (static output size)."""
+        return jax.lax.dynamic_slice(
+            jnp.concatenate([a, jnp.zeros_like(a)]), (k,), (a.shape[0],))
+
+    def _step_fn(bufcat, size, span_hi, emit_lo):
+        """One symbol slot.  bufcat: (2, bufsize) stacked re/im — ONE
+        gather per step instead of two (the gather is the dominant
+        dependent op in the chain).  span_hi/emit_lo None = serial mode
+        (emission == alive)."""
+        offs = jnp.asarray(offs_np)
+        sel = jnp.asarray(corr_sel)
+
+        def step(carry, _):
+            bitstart, corr, alive_so_far = carry
+            alive = alive_so_far & (bitstart + nshb * 3 < size)
+            if span_hi is not None:
+                alive = alive & (bitstart < span_hi)
+            # correction reset (reference :2000-2004)
+            corr = jnp.where((corr <= -nsqb * 0.9) | (corr >= 0.9 * nsqb),
+                             0, corr)
+            gi = bitstart + offs
+            if not gardner:
+                gi = gi - corr * sel
+            gi = jnp.clip(gi, 0, size - 1)
+            v = bufcat[:, gi]                   # (2, 3): re/im x r,l,m
+            d = (v[:, 0] - v[:, 1]) * v[:, 2]
+            if use_q:
+                error = (d[0] + d[1]) / 2
+            else:
+                error = d[0]
+            raw_error = error
+            error = jnp.clip(error, -max_error, max_error)
+            new_corr = (nshb * err_sign * error * loop_gain).astype(jnp.int32)
+            new_bitstart = bitstart + nsb + new_corr
+            out_idx = bitstart + nshb           # == left (gardner) == mid (EL)
+            emit = alive if emit_lo is None else alive & (bitstart >= emit_lo)
+            bs = jnp.where(alive, new_bitstart, bitstart)
+            cr = jnp.where(alive, new_corr, corr)
+            return (bs, cr, alive), (v[0, out_slot], v[1, out_slot],
+                                     raw_error, out_idx, emit)
+
+        return step
+
+    def _pick_output(yr, yi, errs, idxs, emits):
+        if output == "symbols":
+            return CF(jnp.where(emits, yr, 0.0), jnp.where(emits, yi, 0.0))
+        if output == "error":
+            return jnp.where(emits, errs, 0.0)
+        return jnp.where(emits, idxs, 0)
 
     def apply(state, x):
         n = x.shape[0]
@@ -206,66 +283,94 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
         # railed that hard is unlocked anyway, and the carry stays coherent
         # for recovery.
         drop = jnp.maximum(occ + n - bufsize, 0)
-        buf = CF(
-            jax.lax.dynamic_slice(
-                jnp.concatenate([buf.re, jnp.zeros_like(buf.re)]),
-                (drop,), (bufsize,)),
-            jax.lax.dynamic_slice(
-                jnp.concatenate([buf.im, jnp.zeros_like(buf.im)]),
-                (drop,), (bufsize,)))
+        buf = CF(_shift_left(buf.re, drop), _shift_left(buf.im, drop))
         occ = occ - drop
         buf = CF(jax.lax.dynamic_update_slice(buf.re, x.re, (occ,)),
                  jax.lax.dynamic_update_slice(buf.im, x.im, (occ,)))
         size = occ + n
-        cap = (n + margin) // nsb + 2
+        bufcat = jnp.stack([buf.re, buf.im])
 
-        def step(carry, _):
-            bitstart, corr, valid_so_far = carry
-            valid = valid_so_far & (bitstart + nshb * 3 < size)
-            # correction reset (reference :2000-2004)
-            corr = jnp.where((corr <= -nsqb * 0.9) | (corr >= 0.9 * nsqb), 0, corr)
-            if gardner:
-                right = bitstart + nshb * 3
-                left = bitstart + nshb
-                mid = bitstart + nshb * 2
-                out_idx = left
-            else:
-                right = bitstart + wing * 3
-                left = bitstart + wing - corr
-                mid = bitstart + nshb
-                out_idx = mid
-            gi = jnp.clip(jnp.stack([right, left, mid, out_idx]), 0, size - 1)
-            re = buf.re[gi]
-            im = buf.im[gi]
-            error = (re[0] - re[1]) * re[2]
-            if use_q:
-                error = (error + (im[0] - im[1]) * im[2]) / 2
-            raw_error = error
-            error = jnp.clip(error, -max_error, max_error)
-            new_corr = (nshb * err_sign * error * loop_gain).astype(jnp.int32)
-            new_bitstart = bitstart + nsb + new_corr
-            out = (re[3], im[3], raw_error, out_idx)
-            bs = jnp.where(valid, new_bitstart, bitstart)
-            cr = jnp.where(valid, new_corr, corr)
-            return (bs, cr, valid), (out[0], out[1], out[2], out[3], valid)
+        if segments == 1:
+            cap = (n + margin) // nsb + 2
+            step = _step_fn(bufcat, size, None, None)
+            (bitstart, corr, _), (yr, yi, errs, idxs, emits) = jax.lax.scan(
+                step, (jnp.int32(0), corr0, jnp.bool_(True)), None,
+                length=cap, unroll=8)
+            count = jnp.sum(emits.astype(jnp.int32))
+            data = _pick_output(yr, yi, errs, idxs, emits)
+        else:
+            s_count = segments
+            warm = warmup_symbols
+            span = size // s_count                       # traced span length
+            cap_seg = (n + margin) // (s_count * nsb) + warm + 4
+            s_idx = jnp.arange(s_count, dtype=jnp.int32)
+            emit_lo = s_idx * span
+            # each non-last segment OVERRUNS its span by one symbol so the
+            # seam gap is always covered by the predecessor; the successor's
+            # overlapping leading emissions are removed by the dedup below
+            span_hi = jnp.where(s_idx == s_count - 1,
+                                jnp.int32(np.iinfo(np.int32).max),
+                                (s_idx + 1) * span + nsb)
+            bs0 = jnp.maximum(emit_lo - warm * nsb, 0)   # segment 0: 0
+            corr_init = jnp.where(s_idx == 0, corr0, 0)
 
-        (bitstart, corr, _), (yr, yi, errs, idxs, valids) = jax.lax.scan(
-            step, (jnp.int32(0), corr0, jnp.bool_(True)), None, length=cap,
-            unroll=8)
-        count = jnp.sum(valids.astype(jnp.int32))
+            def seg(bs_i, c_i, lo, hi):
+                step = _step_fn(bufcat, size, hi, lo)
+                (bse, cre, _), outs = jax.lax.scan(
+                    step, (bs_i, c_i, jnp.bool_(True)), None,
+                    length=cap_seg, unroll=8)
+                return bse, cre, outs
+
+            bse, cre, (yr, yi, errs, idxs, emits) = jax.vmap(seg)(
+                bs0, corr_init, emit_lo, span_hi)
+            # per-segment emissions are a contiguous run (bitstart is
+            # monotone): mask, shift each run to the segment's front, then
+            # pack runs back-to-back.  Later dus writes overwrite earlier
+            # segments' garbage tails, so the result is a valid prefix.
+            counts = jnp.sum(emits.astype(jnp.int32), axis=1)
+            starts = jnp.argmax(emits, axis=1).astype(jnp.int32)
+            data_seg = _pick_output(yr, yi, errs, idxs, emits)
+            # seam dedup: two independently-locked loops straddle a span
+            # boundary with a few-sample phase wobble, so a segment can
+            # re-emit a symbol its predecessor already covered.  Drop a
+            # segment's leading symbols whose sample position is within
+            # nsb/2 of the predecessor's last emission (its last position
+            # is unaffected by ITS leading drops, so all seams resolve in
+            # parallel).  The dual artifact (a missed symbol in the seam
+            # gap) is rare and self-heals downstream — measured in
+            # tests/test_segmented_ted.py via the BER harness.
+            pos = jnp.where(emits, idxs, np.iinfo(np.int32).max)
+            p_first_order = jax.vmap(_shift_left)(pos, starts)
+            last_slot = jnp.maximum(counts - 1, 0)
+            p_last = jnp.take_along_axis(
+                p_first_order, last_slot[:, None], axis=1)[:, 0]
+            p_last = jnp.where(counts > 0, p_last, -nshb - 1)  # empty: no-op
+            thr = jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int32), p_last[:-1] + nshb])
+            k_dup = jnp.sum((p_first_order <= thr[:, None])
+                            & (jnp.arange(cap_seg)[None, :] < counts[:, None]),
+                            axis=1).astype(jnp.int32)
+            starts = starts + k_dup
+            counts = counts - jnp.minimum(k_dup, counts)
+
+            def pack(a):
+                rolled = jax.vmap(_shift_left)(a, starts)   # (S, cap_seg)
+                out = jnp.zeros((s_count * cap_seg,), a.dtype)
+                off = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+                for s in range(s_count):
+                    out = jax.lax.dynamic_update_slice(
+                        out, rolled[s], (off[s],))
+                return out
+
+            data = (CF(pack(data_seg.re), pack(data_seg.im))
+                    if output == "symbols" else pack(data_seg))
+            count = jnp.sum(counts)
+            bitstart, corr = bse[s_count - 1], cre[s_count - 1]
+
         # consume bitstart samples (reference input_processed, :2068-2070)
         new_occ = size - bitstart
-        buf2 = CF(
-            jax.lax.dynamic_slice(jnp.concatenate([buf.re, jnp.zeros_like(buf.re)]),
-                                  (bitstart,), (buf.re.shape[0],)),
-            jax.lax.dynamic_slice(jnp.concatenate([buf.im, jnp.zeros_like(buf.im)]),
-                                  (bitstart,), (buf.im.shape[0],)))
-        if output == "symbols":
-            data = CF(jnp.where(valids, yr, 0.0), jnp.where(valids, yi, 0.0))
-        elif output == "error":
-            data = jnp.where(valids, errs, 0.0)
-        else:
-            data = jnp.where(valids, idxs, 0)
+        buf2 = CF(_shift_left(buf.re, bitstart), _shift_left(buf.im, bitstart))
         return (buf2, new_occ, corr), VarOut(data, count)
 
     return Block("timing_recovery_cc", init, apply, rate_ratio=None)
