@@ -213,11 +213,13 @@ def bench_tpu_am(n=2_400_000):
     return n / per / 1e6
 
 
-def bench_tpu_flagship(frames_target=1475):
+def bench_tpu_flagship(frames_target=2950):
     """BASELINE config 5 single-chip: 64-ch fastddc D=50 + 64 BPSK31
     Gardner/DBPSK modems.  ~5-7 min axon compile; runs by default as a
     subprocess-isolated secondary (CSDR_BENCH_FLAGSHIP=0 disables).
-    Measured 542 Msps wideband on 2026-08-17, docs/BENCHMARKS_R2.md."""
+    Measured 1368 Msps wideband on 2026-08-20 (r4 fixed-margin TED carry
+    + chunk depth 2950; was 542 in r2/r3 — docs/ROUND4.md; 4425 regresses
+    to 1259, 1475 gives 947)."""
     import jax
     from jax.sharding import Mesh
     from csdr_tpu.models import multichannel

@@ -55,6 +55,13 @@ class CF:
     def __getitem__(self, idx) -> "CF":
         return CF(self.re[idx], self.im[idx])
 
+    # Fail fast instead of the implicit sequence protocol: np/jnp.asarray
+    # of a CF would otherwise iterate __len__/__getitem__ — one EAGER
+    # device gather per element (minutes per MB; bit us in r4 via a real-op
+    # helper handed a CF).  Use .re/.im or cplx.to_numpy explicitly.
+    __iter__ = None
+    __array__ = None
+
     def reshape(self, *shape) -> "CF":
         return CF(self.re.reshape(*shape), self.im.reshape(*shape))
 

@@ -40,9 +40,10 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
     The Costas scan runs per channel sample, so enable it at low channel
     rates; the DBPSK decode itself needs no carrier lock.
     tr_segments: >1 runs the Gardner TED in the overlap-discard segmented
-    mode (ops/sync.py) — the per-symbol scan shortens ~tr_segments x, the
-    modem's wall-clock wall on TPU (BER-certified vs the serial loop in
-    tests/test_segmented_ted.py).
+    mode (ops/sync.py; BER-certified vs the serial loop in
+    tests/test_segmented_ted.py).  NOTE: measured a LOSS at the 64-channel
+    flagship shape (r4 on-chip, docs/ROUND4.md) — the per-segment warmup
+    dominates at ~103 symbols/chunk; keep the serial default here.
     """
     ddc = fd.fastddc_init(0.05, decimation)
     bank_step, meta = sharded_ddc.build_ddc_bank_step(mesh, ddc, shift_rates)

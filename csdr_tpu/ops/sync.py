@@ -10,6 +10,8 @@ sample-for-sample comparable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -179,8 +181,15 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
     segments > 1 enables the overlap-discard segmented mode (the feedback-
     loop analog of overlap-save): the chunk's sample range is split into
     ``segments`` position spans scanned IN PARALLEL (one vmapped scan of
-    ~cap/segments steps instead of a cap-step serial scan — on TPU the
-    per-symbol scan is dispatch-latency-bound, so wall-clock drops ~S x).
+    ~cap/segments steps instead of a cap-step serial scan).  WHEN THIS
+    PAYS (r4 on-chip): only when the scan is dispatch-latency-bound —
+    few channels and many symbols per chunk (cap/segments >> the warmup).
+    At the 64-channel flagship shape it LOSES (554 -> 274 Msps at S=4,
+    178 at S=8): with ~103 symbols/chunk the per-segment warmup multiplies
+    total steps 2.4-3.8x, and the 64-wide vmapped scan is already gather-
+    throughput-bound, so extra parallel lanes don't amortize dispatch.
+    The flagship's actual modem wall was the streaming carry (fixed in r4,
+    see apply below); serial segments=1 stays the default everywhere.
     Segment s>0 starts ``warmup_symbols`` symbols before its span and
     discards them while the loop acquires; a converged loop's integer
     trajectory coalesces with the serial one, so emitted symbols match the
@@ -211,25 +220,46 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
     corr_sel = np.array([0, 1, 0], np.int32)    # early-late: left -= corr
 
     def init(n: int | None = None):
-        # lazy by default (buffer sized from the first chunk); pass the
-        # chunk size n for an explicit state, e.g. to vmap over channels
-        return None if n is None else _mk(n)
+        # the carry is a FIXED (margin,) tail regardless of chunk size; the
+        # n parameter is accepted for API compatibility and ignored
+        return None if n is None else _mk()
 
-    def _mk(n):
-        return (CF.zeros((n + margin,)), jnp.int32(0), jnp.int32(0))
+    def _mk():
+        return (CF.zeros((margin,)), jnp.int32(0), jnp.int32(0))
 
     def _shift_left(a, k):
         """a shifted left by traced k, zero-filled (static output size)."""
         return jax.lax.dynamic_slice(
             jnp.concatenate([a, jnp.zeros_like(a)]), (k,), (a.shape[0],))
 
-    def _step_fn(bufcat, size, span_hi, emit_lo):
-        """One symbol slot.  bufcat: (2, bufsize) stacked re/im — ONE
-        gather per step instead of two (the gather is the dominant
-        dependent op in the chain).  span_hi/emit_lo None = serial mode
-        (emission == alive)."""
+    # static pick-window geometry for the rowslice form: all picks fall in
+    # [bitstart + pick_lo, bitstart + pick_hi] (EARLYLATE's left pick moves
+    # by -corr, |corr| < nsqb after the reset)
+    if gardner:
+        pick_lo, pick_hi = nshb, nshb * 3
+    else:
+        pick_lo, pick_hi = wing - nsqb, max(wing * 3, nshb) + nsqb
+    n_rows = (pick_hi - pick_lo) // 128 + 2
+
+    def _step_fn(bufobj, size, span_hi, emit_lo, rowslice):
+        """One symbol slot.  Two pick forms, bit-identical outputs:
+
+        rowslice=False: bufobj = (2, size) stacked re/im, picks via ONE
+        batched dynamic gather per step.
+        rowslice=True: bufobj = (2, rowsp, 128) row-tiled; picks via a
+        dynamic_slice of n_rows SUBLANE rows + a one-hot lane contraction.
+        On TPU the in-scan gather cost scales with the gather DOMAIN
+        (~1.5 ms per 64x52k-sample chunk); the row window caps the domain
+        at n_rows*128 lanes — measured 2.7x faster at the flagship shape
+        (r4, docs/ROUND4.md).
+
+        span_hi/emit_lo None = serial mode (emission == alive)."""
         offs = jnp.asarray(offs_np)
         sel = jnp.asarray(corr_sel)
+        if rowslice:
+            rowsp = bufobj.shape[1]
+            iota = jnp.arange(n_rows * 128, dtype=jnp.int32).reshape(
+                n_rows, 128)
 
         def step(carry, _):
             bitstart, corr, alive_so_far = carry
@@ -243,7 +273,15 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
             if not gardner:
                 gi = gi - corr * sel
             gi = jnp.clip(gi, 0, size - 1)
-            v = bufcat[:, gi]                   # (2, 3): re/im x r,l,m
+            if rowslice:
+                row0 = jnp.clip(jnp.min(gi) // 128, 0, rowsp - n_rows)
+                win = jax.lax.dynamic_slice(
+                    bufobj, (0, row0, 0), (2, n_rows, 128))
+                oh = (iota[None, :, :]
+                      == (gi - row0 * 128)[:, None, None]).astype(jnp.float32)
+                v = jnp.einsum("wrl,prl->wp", win, oh)      # (2, 3)
+            else:
+                v = bufobj[:, gi]               # (2, 3): re/im x r,l,m
             d = (v[:, 0] - v[:, 1]) * v[:, 2]
             if use_q:
                 error = (d[0] + d[1]) / 2
@@ -262,60 +300,77 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
 
         return step
 
-    def _pick_output(yr, yi, errs, idxs, emits):
+    def _pick_output(yr, yi, errs, idxs, emits, s0):
         if output == "symbols":
             return CF(jnp.where(emits, yr, 0.0), jnp.where(emits, yi, 0.0))
         if output == "error":
             return jnp.where(emits, errs, 0.0)
-        return jnp.where(emits, idxs, 0)
+        # indexes are reported relative to the first unconsumed sample —
+        # the reference's buffer origin (it memmoves the tail to the front,
+        # csdr.c:2641-2642); s0 is that origin inside our static buffer
+        return jnp.where(emits, idxs - s0, 0)
 
     def apply(state, x):
         n = x.shape[0]
         if state is None:
-            state = _mk(n)
-        buf, occ, corr0 = state
-        bufsize = buf.re.shape[0]
-        # saturation guard: a railed loop advances only nsb-|corr| per
-        # symbol (down to nsb/2 at the default max_error*loop_gain), so the
-        # cap-bounded scan can consume less than arrives.  Rather than let
-        # the write below clamp (silent stream corruption), drop the OLDEST
-        # buffered samples — the framework-wide overload policy; a loop
-        # railed that hard is unlocked anyway, and the carry stays coherent
-        # for recovery.
-        drop = jnp.maximum(occ + n - bufsize, 0)
-        buf = CF(_shift_left(buf.re, drop), _shift_left(buf.im, drop))
-        occ = occ - drop
-        buf = CF(jax.lax.dynamic_update_slice(buf.re, x.re, (occ,)),
-                 jax.lax.dynamic_update_slice(buf.im, x.im, (occ,)))
-        size = occ + n
-        bufcat = jnp.stack([buf.re, buf.im])
+            state = _mk()
+        tail, occ, corr0 = state
+        # Fixed-margin streaming carry: buffer = [tail (margin,) | x] via
+        # ONE static concat; the valid region is [margin-occ, margin+n) and
+        # only the scan's (traced) start position knows about occ.  The
+        # previous form kept a (n+margin,) ring updated with traced-start
+        # dynamic_update_slice/dynamic_slice — on TPU each such pass runs
+        # at ~170 GB/s over the whole stream, and at the flagship shape
+        # that buffer plumbing cost ~4x the symbol scan itself (r4 on-chip
+        # decomposition: scan 0.32 ms vs ~1.7 ms modem total).
+        xcat = CF(jnp.concatenate([tail.re, x.re]),
+                  jnp.concatenate([tail.im, x.im]))
+        size = margin + n                   # static scan bound
+        s0 = jnp.int32(margin) - occ        # traced: first unconsumed sample
+        pad = (-size) % 128
+        rowsp = (size + pad) // 128
+        # CSDR_TED_ROWSLICE=1 opts into the row-window pick.  Standalone it
+        # measures 2.7x faster than the gather (0.56 vs 1.52 ms at the
+        # flagship shape), but COMPOSED into the sharded flagship program
+        # it loses 6% (1228 vs 1311 Msps, r4 A/B) — the scan overlaps
+        # other work there and the extra per-step ops cost more than the
+        # smaller gather domain saves.  Gather stays the default.
+        rowslice = rowsp >= n_rows and os.environ.get(
+            "CSDR_TED_ROWSLICE", "0") == "1"
+        if rowslice:
+            z = jnp.zeros((pad,), jnp.float32)
+            bufobj = jnp.stack([jnp.concatenate([xcat.re, z]),
+                                jnp.concatenate([xcat.im, z])]
+                               ).reshape(2, rowsp, 128)
+        else:
+            bufobj = jnp.stack([xcat.re, xcat.im])
 
         if segments == 1:
             cap = (n + margin) // nsb + 2
-            step = _step_fn(bufcat, size, None, None)
+            step = _step_fn(bufobj, size, None, None, rowslice)
             (bitstart, corr, _), (yr, yi, errs, idxs, emits) = jax.lax.scan(
-                step, (jnp.int32(0), corr0, jnp.bool_(True)), None,
+                step, (s0, corr0, jnp.bool_(True)), None,
                 length=cap, unroll=8)
             count = jnp.sum(emits.astype(jnp.int32))
-            data = _pick_output(yr, yi, errs, idxs, emits)
+            data = _pick_output(yr, yi, errs, idxs, emits, s0)
         else:
             s_count = segments
             warm = warmup_symbols
-            span = size // s_count                       # traced span length
+            span = (size - s0) // s_count                # traced span length
             cap_seg = (n + margin) // (s_count * nsb) + warm + 4
             s_idx = jnp.arange(s_count, dtype=jnp.int32)
-            emit_lo = s_idx * span
+            emit_lo = s0 + s_idx * span
             # each non-last segment OVERRUNS its span by one symbol so the
             # seam gap is always covered by the predecessor; the successor's
             # overlapping leading emissions are removed by the dedup below
             span_hi = jnp.where(s_idx == s_count - 1,
                                 jnp.int32(np.iinfo(np.int32).max),
-                                (s_idx + 1) * span + nsb)
-            bs0 = jnp.maximum(emit_lo - warm * nsb, 0)   # segment 0: 0
+                                emit_lo + span + nsb)
+            bs0 = jnp.maximum(emit_lo - warm * nsb, s0)  # segment 0: s0
             corr_init = jnp.where(s_idx == 0, corr0, 0)
 
             def seg(bs_i, c_i, lo, hi):
-                step = _step_fn(bufcat, size, hi, lo)
+                step = _step_fn(bufobj, size, hi, lo, rowslice)
                 (bse, cre, _), outs = jax.lax.scan(
                     step, (bs_i, c_i, jnp.bool_(True)), None,
                     length=cap_seg, unroll=8)
@@ -329,7 +384,7 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
             # segments' garbage tails, so the result is a valid prefix.
             counts = jnp.sum(emits.astype(jnp.int32), axis=1)
             starts = jnp.argmax(emits, axis=1).astype(jnp.int32)
-            data_seg = _pick_output(yr, yi, errs, idxs, emits)
+            data_seg = _pick_output(yr, yi, errs, idxs, emits, s0)
             # seam dedup: two independently-locked loops straddle a span
             # boundary with a few-sample phase wobble, so a segment can
             # re-emit a symbol its predecessor already covered.  Drop a
@@ -368,9 +423,14 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
             count = jnp.sum(counts)
             bitstart, corr = bse[s_count - 1], cre[s_count - 1]
 
-        # consume bitstart samples (reference input_processed, :2068-2070)
-        new_occ = size - bitstart
-        buf2 = CF(_shift_left(buf.re, bitstart), _shift_left(buf.im, bitstart))
-        return (buf2, new_occ, corr), VarOut(data, count)
+        # consume bitstart samples (reference input_processed, :2068-2070).
+        # The new tail is ALWAYS the buffer's last margin samples — a static
+        # slice: anything earlier is consumed, or (railed-loop saturation)
+        # dropped-oldest, the framework-wide overload policy.  occ clips to
+        # margin accordingly; valid tail data is right-aligned at
+        # tail[margin-occ:].
+        new_occ = jnp.clip(size - bitstart, 0, margin)
+        tail2 = CF(xcat.re[n:], xcat.im[n:])
+        return (tail2, new_occ, corr), VarOut(data, count)
 
     return Block("timing_recovery_cc", init, apply, rate_ratio=None)

@@ -175,3 +175,33 @@ def test_pll_costas_reference_defaults():
     assert abs(beta - bw * bw / (10.0 * 0.1)) < 1e-12
     a2, b2, dmax = sync.costas_loop_params()
     assert abs(dmax - 2 * np.pi * 0.01) < 1e-9
+
+
+@pytest.mark.parametrize("alg", ["GARDNER", "EARLYLATE"])
+def test_timing_recovery_rowslice_pick_identical(alg, monkeypatch):
+    """CSDR_TED_ROWSLICE=1 (row-window pick: sublane dynamic_slice +
+    one-hot lane contraction) must be bit-identical to the default gather
+    pick across chunked streaming (ops/sync.py, r4)."""
+    from csdr_tpu.core.cplx import CF
+    rng = np.random.default_rng(9)
+    decim = 32
+    bits = rng.integers(0, 2, 128) * 2.0 - 1.0
+    sm = np.convolve(np.repeat(bits, decim), np.hanning(decim), mode="same")
+    x = (sm + 1j * 0.2 * sm).astype(np.complex64)
+
+    def run(env):
+        monkeypatch.setenv("CSDR_TED_ROWSLICE", env)
+        blk = sync.timing_recovery_block(alg, decim, use_q=True)
+        st = blk.init()
+        outs, counts = [], 0
+        for c in range(4):
+            st, out = blk.apply(st, to_dev(x[c * 1024:(c + 1) * 1024]))
+            m = int(out.count)
+            outs.append(to_host(out.data)[:m])
+            counts += m
+        return np.concatenate(outs), int(st[1]), int(st[2])
+
+    y0, occ0, corr0 = run("0")
+    y1, occ1, corr1 = run("1")
+    assert (occ0, corr0) == (occ1, corr1)
+    np.testing.assert_array_equal(y0, y1)

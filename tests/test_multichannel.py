@@ -103,9 +103,9 @@ def test_flagship_classed_decimation_buffer_sizing():
     q, ga, ins = meta["q"], meta["group_out"], meta["input_size"]
     n = n_time * q * ins * 2            # 2 groups per shard
     state = init(n)
-    m = (n // ins // q) * ga
-    # TED buffer = per-chunk channel samples + the TED's 4*sps margin
-    assert state[0].shape == (4, m + 4 * sps)
+    # TED carry = the fixed 4*sps margin tail, chunk-size independent
+    # (r4: the (m+margin,) ring was the modem's HBM wall — ops/sync.py)
+    assert state[0].shape == (4, 4 * sps)
     rng = np.random.default_rng(11)
     sh = NamedSharding(mesh, P("time"))
     x = CF(jax.device_put(jnp.asarray(

@@ -14,8 +14,23 @@ import refbind  # noqa: E402
 
 from csdr_tpu.core import cplx  # noqa: E402
 
-to_dev = cplx.from_numpy       # np complex64 -> planar CF on device
-to_host = cplx.to_numpy        # CF -> np complex
+def to_dev(x):
+    """np complex64 -> planar CF on device; REAL arrays pass through as
+    plain device arrays (the _ff ops' contract).  Wrapping reals in CF fed
+    jnp.asarray a CF downstream, which degenerates into the Python
+    sequence protocol: one EAGER gather per element (~30 s per 2000-sample
+    test on an idle box — the r4 'suite hang')."""
+    import jax.numpy as jnp
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        return cplx.from_numpy(x)
+    return jnp.asarray(x)
+
+
+def to_host(x):
+    if isinstance(x, cplx.CF):
+        return cplx.to_numpy(x)
+    return np.asarray(x)
 
 __all__ = ["refbind", "snr_db", "assert_snr", "cplx_noise", "real_noise",
            "to_dev", "to_host", "interpret_is_exact"]
