@@ -234,8 +234,9 @@ def bench_tpu_flagship(frames_target=2950):
     # tests/test_segmented_ted.py) shortens the modem scan ~S x — the
     # flagship's wall; CSDR_FLAGSHIP_SEGMENTS=1 restores the serial loop
     segs = int(os.environ.get("CSDR_FLAGSHIP_SEGMENTS", "1"))
+    subs = int(os.environ.get("CSDR_FLAGSHIP_SUBCHUNKS", "1"))
     init, step, meta = multichannel.build_ddc_bpsk31_bank(
-        mesh, rates, 50, 256, tr_segments=segs)
+        mesh, rates, 50, 256, tr_segments=segs, tr_subchunks=subs)
     q, ins = meta["q"], meta["input_size"]
     frames = (frames_target // q) * q
     n = frames * ins

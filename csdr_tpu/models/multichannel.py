@@ -28,7 +28,7 @@ from csdr_tpu.parallel import sharded_ddc
 def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
                           sps: int = 256, use_costas: bool = False,
                           costas_bw: float = 2 * np.pi / 100,
-                          tr_segments: int = 1):
+                          tr_segments: int = 1, tr_subchunks: int = 1):
     """Returns (init, step): step(state, x CF wideband P('time')) ->
     (state', (bits (C, cap) u8, counts (C,))).
 
@@ -44,6 +44,13 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
     tests/test_segmented_ted.py).  NOTE: measured a LOSS at the 64-channel
     flagship shape (r4 on-chip, docs/ROUND4.md) — the per-segment warmup
     dominates at ~103 symbols/chunk; keep the serial default here.
+    tr_subchunks: >1 feeds each channel's chunk to the TED as that many
+    SEQUENTIAL sub-chunk applies (the TED's own streaming contract;
+    bit-identical outputs, tests/test_multichannel.py).  Standalone the
+    scan's gather cost scales with the buffer domain (2.14 -> 0.67 ms at
+    half domain), but COMPOSED in the flagship subchunks=2 measured 1213
+    vs 1390 Msps — in context the modem already runs well below the
+    standalone scan micro, so the extra applies only serialize.  Default 1.
     """
     ddc = fd.fastddc_init(0.05, decimation)
     bank_step, meta = sharded_ddc.build_ddc_bank_step(mesh, ddc, shift_rates)
@@ -56,6 +63,34 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
     if use_costas:
         cl_alpha, cl_beta, cl_dmax = sync.costas_loop_params(costas_bw)
 
+    def _ted_dbpsk(tr_state, last, ch_re, ch_im):
+        """TED + DBPSK over one channel chunk, optionally as tr_subchunks
+        sequential TED applies (domain-bounded gathers); bits packed
+        back-to-back (valid prefix, symbol-rate dus writes)."""
+        k = tr_subchunks if ch_re.shape[0] % tr_subchunks == 0 else 1
+        if k == 1:
+            tr_state, syms = tr.apply(tr_state, CF(ch_re, ch_im))
+            bits, last = digital.dbpsk_decoder_c_u8(syms.data, last,
+                                                    count=syms.count)
+            return tr_state, last, bits, syms.count
+        sub = ch_re.shape[0] // k
+        parts, counts = [], []
+        for i in range(k):
+            tr_state, syms = tr.apply(
+                tr_state, CF(ch_re[i * sub:(i + 1) * sub],
+                             ch_im[i * sub:(i + 1) * sub]))
+            b_i, last = digital.dbpsk_decoder_c_u8(syms.data, last,
+                                                   count=syms.count)
+            parts.append(b_i)
+            counts.append(syms.count)
+        cap = parts[0].shape[0]
+        bits = jnp.zeros((k * cap,), jnp.uint8)
+        off = jnp.int32(0)
+        for i in range(k):
+            bits = jax.lax.dynamic_update_slice(bits, parts[i], (off,))
+            off = off + counts[i]
+        return tr_state, last, bits, off
+
     def modem_one(state, ch_re, ch_im):
         """One channel: (costas ->) gardner -> dbpsk (symbols -> bits)."""
         tr_state, last = state
@@ -65,18 +100,15 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
                 CF(ch_re, ch_im), cl_alpha, cl_beta, cl_dmax,
                 state=costas_state)
             ch_re, ch_im = y.re, y.im
-            tr_state, syms = tr.apply(tr_state, CF(ch_re, ch_im))
-            tr_state = (tr_state, costas_state)
-            sym = syms.data
-            bits, new_last = digital.dbpsk_decoder_c_u8(sym, last)
-            return (tr_state, new_last), bits, syms.count
-        tr_state, syms = tr.apply(tr_state, CF(ch_re, ch_im))
-        sym = syms.data
-        bits, new_last = digital.dbpsk_decoder_c_u8(sym, last)
+            tr_state, new_last, bits, count = _ted_dbpsk(
+                tr_state, last, ch_re, ch_im)
+            return ((tr_state, costas_state), new_last), bits, count
         # first decoded bit of the stream pairs with the zero-init last
         # sample; the count excludes nothing — caller aligns, as in the
         # reference BER harness (+-5 byte search, bpsk31_ber.py:35-42)
-        return (tr_state, new_last), bits, syms.count
+        tr_state, new_last, bits, count = _ted_dbpsk(
+            tr_state, last, ch_re, ch_im)
+        return (tr_state, new_last), bits, count
 
     # state layout: 6 base arrays (TED buffer re/im, occ, corr, dbpsk last
     # re/im) + 3 costas scalars per channel when enabled; every array has a

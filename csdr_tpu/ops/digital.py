@@ -297,9 +297,14 @@ def differential_codec_decode(x, state=0):
     return (x == prev).astype(jnp.uint8), x[-1]
 
 
-def dbpsk_decoder_c_u8(x: CF, last_input: CF | None = None):
+def dbpsk_decoder_c_u8(x: CF, last_input: CF | None = None, count=None):
     """|dphase| > pi/2 -> 0 else 1 (reference libcsdr.c:2319-2333).
-    Returns (bits, new_last)."""
+    Returns (bits, new_last).
+
+    count: when x is a VarOut-padded stream (valid prefix of ``count``
+    symbols), pass it so new_last is the last VALID symbol instead of a
+    pad zero — a pad-zero last corrupts the first bit of the next chunk
+    (phase(0,0) = 0).  None keeps the whole-array contract (CLI pump)."""
     if last_input is None:
         last_input = CF.scalar(0.0)
     phase = x.angle()
@@ -309,7 +314,13 @@ def dbpsk_decoder_c_u8(x: CF, last_input: CF | None = None):
     d = jnp.where(d < -np.pi, d + 2 * np.pi, d)
     d = jnp.where(d >= np.pi, d - 2 * np.pi, d)
     bits = ((d <= np.pi / 2) & (d >= -np.pi / 2)).astype(jnp.uint8)
-    return bits, x[-1]
+    if count is None:
+        return bits, x[-1]
+    lv = x[jnp.maximum(count - 1, 0)]
+    keep = count > 0
+    new_last = CF(jnp.where(keep, lv.re, last_input.re),
+                  jnp.where(keep, lv.im, last_input.im))
+    return bits, new_last
 
 
 def bfsk_demod_cf(x: CF, mark_filter: CF, space_filter: CF):

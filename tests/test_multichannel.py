@@ -166,3 +166,39 @@ def test_flagship_costas_recovers_carrier_offset(use_costas):
     else:
         # sanity: the offset genuinely breaks DBPSK-only reception
         assert max(bers) > 0.1, bers
+
+
+def test_flagship_subchunked_modem_identical():
+    """tr_subchunks=K feeds the TED K sequential sub-chunks per step (the
+    TED's own streaming contract), so the packed bits/counts must equal
+    the single-apply modem exactly (models/multichannel.py, r4)."""
+    decim = 16
+    sps = 64
+    mesh = _mesh(2, 4)
+    rates = [-0.2, 0.1, 0.25, -0.05]
+    rng = np.random.default_rng(21)
+    n = mesh.shape["time"] * 4 * fd.fastddc_init(0.05, decim).input_size
+    sh = NamedSharding(mesh, P("time"))
+    x = CF(jax.device_put(jnp.asarray(
+               rng.standard_normal(n), jnp.float32), sh),
+           jax.device_put(jnp.asarray(
+               rng.standard_normal(n), jnp.float32), sh))
+
+    def run(k):
+        init, step, meta = multichannel.build_ddc_bpsk31_bank(
+            mesh, rates, decim, sps, tr_subchunks=k)
+        state = init(n)
+        outs = []
+        for _ in range(3):
+            state, (bits, counts) = jax.block_until_ready(step(state, x))
+            b = np.asarray(bits)
+            c = np.asarray(counts)
+            outs.append([b[i, :c[i]] for i in range(len(rates))])
+        return outs
+
+    ref = run(1)
+    sub = run(2)
+    for step_i, (r_chans, s_chans) in enumerate(zip(ref, sub)):
+        for ch, (r, s) in enumerate(zip(r_chans, s_chans)):
+            np.testing.assert_array_equal(
+                r, s, err_msg=f"step {step_i} chan {ch}")
