@@ -230,9 +230,9 @@ def bench_tpu_flagship(frames_target=2950):
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("chan", "time"))
     rng = np.random.default_rng(3)
     rates = rng.uniform(-0.35, 0.35, 64)
-    # segmented Gardner (ops/sync.py segments>1, BER-certified vs serial in
-    # tests/test_segmented_ted.py) shortens the modem scan ~S x — the
-    # flagship's wall; CSDR_FLAGSHIP_SEGMENTS=1 restores the serial loop
+    # serial Gardner is the measured flagship winner (segmented and
+    # sub-chunked modes both LOSE composed at this shape — docs/ROUND4.md);
+    # the env knobs exist for A/B only
     segs = int(os.environ.get("CSDR_FLAGSHIP_SEGMENTS", "1"))
     subs = int(os.environ.get("CSDR_FLAGSHIP_SUBCHUNKS", "1"))
     init, step, meta = multichannel.build_ddc_bpsk31_bank(

@@ -1606,6 +1606,16 @@ def _c_timing(args):
         output = "error"
     if "--output_indexes" in args:
         output = "indexes"
+    # --segments N (extension): TPU-parallel overlap-discard mode, serial
+    # reference semantics at the default 1 (ops/sync.py; parsed BEFORE the
+    # --octave branch so the debug plots show the selected mode)
+    if "--segments" in args:
+        i = args.index("--segments")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            raise SystemExit("--segments requires a value")
+        segs = int(args[i + 1])
+    else:
+        segs = 1
     if "--octave" in args:
         # debug plots of the sampling points on the signal (reference
         # octave_plot_point_on_cplxsig, libcsdr.c:1917-1958 + :2046-2052):
@@ -1614,7 +1624,7 @@ def _c_timing(args):
         import jax.numpy as jnp
         from csdr_tpu.core.block import Block
         blk = sync.timing_recovery_block(alg, decim, gain, max_err, use_q,
-                                         "indexes")
+                                         "indexes", segments=segs)
         inner = jax.jit(blk.apply)
         print("cf=figure();")
         save_prefix = None
@@ -1642,12 +1652,6 @@ def _c_timing(args):
         pump(Block("timing_octave", blk.init, apply), "c", "u32",
              quantum=decim, jit=False)
         return
-    # --segments N (extension): TPU-parallel overlap-discard mode — the
-    # per-symbol scan shortens ~N x; BER-certified vs the serial loop
-    # (ops/sync.py, tests/test_segmented_ted.py).  Default 1 = reference
-    # serial semantics.
-    segs = (int(args[args.index("--segments") + 1])
-            if "--segments" in args else 1)
     blk = sync.timing_recovery_block(alg, decim, gain, max_err, use_q, output,
                                      segments=segs)
     ofmt = "c" if output == "symbols" else ("f" if output == "error" else "u32")

@@ -190,6 +190,10 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
     throughput-bound, so extra parallel lanes don't amortize dispatch.
     The flagship's actual modem wall was the streaming carry (fixed in r4,
     see apply below); serial segments=1 stays the default everywhere.
+    Chunks too small to give every segment >= warmup_symbols symbols fall
+    back to the serial scan (trace-time, static in the chunk shape):
+    shorter spans are warmup-dominated and their seams can duplicate or
+    skip symbols (the dedup checks only the immediate predecessor).
     Segment s>0 starts ``warmup_symbols`` symbols before its span and
     discards them while the loop acquires; a converged loop's integer
     trajectory coalesces with the serial one, so emitted symbols match the
@@ -279,7 +283,12 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
                     bufobj, (0, row0, 0), (2, n_rows, 128))
                 oh = (iota[None, :, :]
                       == (gi - row0 * 128)[:, None, None]).astype(jnp.float32)
-                v = jnp.einsum("wrl,prl->wp", win, oh)      # (2, 3)
+                # HIGHEST keeps the 0/1-weighted pick f32-exact on TPU —
+                # a default-precision dot would bf16-round the samples and
+                # break bit-equality with the gather pick (same rule as
+                # the one-hot subsample in ops/resamp.py)
+                v = jnp.einsum("wrl,prl->wp", win, oh,
+                               precision=jax.lax.Precision.HIGHEST)  # (2, 3)
             else:
                 v = bufobj[:, gi]               # (2, 3): re/im x r,l,m
             d = (v[:, 0] - v[:, 1]) * v[:, 2]
@@ -345,7 +354,17 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
         else:
             bufobj = jnp.stack([xcat.re, xcat.im])
 
-        if segments == 1:
+        # degenerate-span guard: a segment shorter than its own warmup is
+        # warmup-dominated and its seams degrade — dedup only checks the
+        # immediate predecessor, so ~1-symbol spans can emit duplicate or
+        # skipped symbols (r4 review).  Fall back to the serial scan when
+        # the chunk cannot give every segment >= warmup_symbols symbols
+        # (static in the chunk shape, so this is a trace-time choice).
+        segments_eff = segments
+        if segments > 1 and (n + margin) // (segments * nsb) < warmup_symbols:
+            segments_eff = 1
+
+        if segments_eff == 1:
             cap = (n + margin) // nsb + 2
             step = _step_fn(bufobj, size, None, None, rowslice)
             (bitstart, corr, _), (yr, yi, errs, idxs, emits) = jax.lax.scan(

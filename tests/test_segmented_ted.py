@@ -140,3 +140,29 @@ def test_segmented_saturation_recovers():
                                    jnp.zeros(64, jnp.float32)))
         got += int(np.asarray(out.count))
     assert got > 0
+
+
+def test_segmented_degenerate_span_falls_back_to_serial():
+    """Chunks too small to give each segment >= warmup_symbols symbols
+    must take the serial path (identical output): ~1-symbol spans are
+    warmup-dominated and their seams can duplicate/skip symbols (r4
+    review finding — reproduced with segs=8, chunk=64, decim=8 before
+    the guard)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, 64) * 2.0 - 1.0
+    sig = np.repeat(bits, 8).astype(np.float32)
+
+    def run(segments):
+        blk = sync.timing_recovery_block("GARDNER", 8, segments=segments,
+                                         output="indexes")
+        st = blk.init()
+        idxs = []
+        for c in range(8):
+            st, out = blk.apply(st, CF(jnp.asarray(sig[c * 64:(c + 1) * 64]),
+                                       jnp.zeros(64, jnp.float32)))
+            m = int(np.asarray(out.count))
+            idxs.append(np.asarray(out.data)[:m])
+        return np.concatenate(idxs)
+
+    np.testing.assert_array_equal(run(8), run(1))
