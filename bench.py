@@ -213,13 +213,14 @@ def bench_tpu_am(n=2_400_000):
     return n / per / 1e6
 
 
-def bench_tpu_flagship(frames_target=2950):
+def bench_tpu_flagship(frames_target=3200):
     """BASELINE config 5 single-chip: 64-ch fastddc D=50 + 64 BPSK31
     Gardner/DBPSK modems.  ~5-7 min axon compile; runs by default as a
     subprocess-isolated secondary (CSDR_BENCH_FLAGSHIP=0 disables).
-    Measured 1368 Msps wideband on 2026-08-20 (r4 fixed-margin TED carry
-    + chunk depth 2950; was 542 in r2/r3 — docs/ROUND4.md; 4425 regresses
-    to 1259, 1475 gives 947)."""
+    Measured 1496 Msps wideband on 2026-08-20 (r4 fixed-margin TED carry
+    + chunk depth 3200 = 128 classed GROUPS, an exact MXU tile row count
+    for the per-class einsum; was 542 in r2/r3 — docs/ROUND4.md.  Depth
+    curve: 1475/2950/3200/3700/4425 -> 947/1368-1390/1496/1310/1259)."""
     import jax
     from jax.sharding import Mesh
     from csdr_tpu.models import multichannel
