@@ -575,7 +575,9 @@ _SECONDARIES = {
     "nfm": bench_tpu_nfm,
     "ssb": bench_tpu_ssb,
     "am": bench_tpu_am,
-    "fastddc50": lambda: bench_tpu_fastddc(decimation=50, frames=2500),
+    # frames=3200 -> 128 phase-class groups: exact MXU tile rows for the
+    # classed einsum (2 382 vs 2 032 Msps at 2500 — r4 tiling sweep)
+    "fastddc50": lambda: bench_tpu_fastddc(decimation=50, frames=3200),
     "flagship": bench_tpu_flagship,
     "fastddc16": bench_tpu_fastddc,
     "fastddc256": lambda: bench_tpu_fastddc(channels=256, frames=512),
