@@ -343,8 +343,39 @@ def main():
                 "vs_baseline": None,
                 "error": "bench terminated before the headline ran"}
 
+    def _compact(rec):
+        """The driver records bench.py's final stdout line from a ~2000-char
+        tail capture; the r4 record came back `parsed: null` because the
+        full roofline+secondaries record outgrew it (BENCH_r04.json).  The
+        stdout contract is therefore a COMPACT line: headline fields +
+        secondary VALUES (plus min/max spread where measured); full detail
+        (roofline accounts, peaks, extras) goes to stderr and
+        bench_detail.json."""
+        c = {k: v for k, v in rec.items() if k not in ("roofline",
+                                                       "secondaries")}
+        secs = rec.get("secondaries")
+        if secs:
+            c["secondaries"] = {}
+            for k, line in secs.items():
+                if "min" in line and "max" in line:
+                    c["secondaries"][k] = {"v": line["value"],
+                                           "lo": line["min"],
+                                           "hi": line["max"]}
+                else:
+                    c["secondaries"][k] = line["value"]
+        return c
+
     def flush_headline(*_a):
-        print(json.dumps(headline), flush=True)
+        detail = json.dumps(headline)
+        sys.stderr.write("bench detail: " + detail + "\n")
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_detail.json")
+            with open(path, "w") as f:
+                f.write(detail + "\n")
+        except Exception:  # noqa: BLE001 — detail file is best-effort
+            pass
+        print(json.dumps(_compact(headline)), flush=True)
 
     def on_term(signum, frame):  # driver timeout sends SIGTERM first
         sys.stderr.write("bench: SIGTERM — flushing headline and exiting\n")
@@ -451,7 +482,8 @@ def main():
         rec["roofline"] = roof
     headline.clear()
     headline.update(rec)
-    print(json.dumps(rec), flush=True)
+    sys.stderr.write("bench detail: " + json.dumps(rec) + "\n")
+    print(json.dumps(_compact(rec)), flush=True)
 
     # secondary metrics -> stderr.  Each runs in a CHILD process with a
     # timeout: a kernel that wedges the axon worker (known failure mode —
@@ -486,18 +518,28 @@ def main():
             if t_left < min(timeout_s, min_s):
                 raise RuntimeError("budget exhausted before attempt")
             env = dict(os.environ, **(extra_env or {}))
+            t_child = min(timeout_s, t_left)
+            # let the child pace its spread reps against the real window
+            env.setdefault("CSDR_BENCH_CHILD_BUDGET_S", str(int(t_child)))
             p = subprocess.run(
                 [sys.executable, __file__, "--run-secondary", key],
                 capture_output=True, text=True,
-                timeout=min(timeout_s, t_left), env=env)
+                timeout=t_child, env=env)
             sys.stderr.write(p.stderr)
             if p.returncode != 0:
                 raise RuntimeError(f"rc={p.returncode}")
-            return float(p.stdout.strip().splitlines()[-1])
+            last = p.stdout.strip().splitlines()[-1]
+            try:        # spread protocol: {"value":median,"min":..,"max":..}
+                rec = json.loads(last)
+                if not isinstance(rec, dict):
+                    raise ValueError
+                return rec
+            except ValueError:
+                return {"value": float(last)}
 
         try:
             try:
-                v = attempt()
+                rec = attempt()
             except subprocess.TimeoutExpired:
                 # wedge or compile overrun? a tiny-op probe distinguishes
                 if (jax.default_backend() == "tpu"
@@ -509,10 +551,15 @@ def main():
                 # the validated Stockham fallback rather than losing the row
                 sys.stderr.write(f"bench: {key} failed; retrying with "
                                  "CSDR_FFT_KERNEL=0 CSDR_FASTDDC_KERNEL=0\n")
-                v = attempt({"CSDR_FFT_KERNEL": "0",
-                             "CSDR_FASTDDC_KERNEL": "0"})
+                rec = attempt({"CSDR_FFT_KERNEL": "0",
+                               "CSDR_FASTDDC_KERNEL": "0"})
+            v = rec["value"]
             line = {"metric": name, "value": round(v, 1),
                     "unit": "complex Msamples/s/chip"}
+            for sk in ("min", "max", "reps"):
+                if sk in rec:
+                    line[sk] = (round(rec[sk], 1) if sk != "reps"
+                                else rec[sk])
             for k, f in extra.items():
                 line[k] = f(v)
             sys.stderr.write(json.dumps(line) + "\n")
@@ -584,14 +631,42 @@ _SECONDARIES = {
 }
 
 
+# the two metrics with observed run-to-run bands (flagship ±7%, NFM ±15% —
+# docs/ROUND4.md "device-state variance") report median-of-3 with min/max;
+# repeats reuse the in-process compile cache so each extra rep costs only
+# run time, not the 5-7 min flagship compile (reference discipline:
+# test200.c:42-124, 200 iterations per kernel)
+_REPS = {"flagship": 3, "nfm": 3}
+
+
 def _run_secondary(key: str) -> int:
     """Child entry: honor JAX_PLATFORMS like main(), run one metric, print
-    the bare value on the LAST stdout line (parent parses it)."""
+    the result on the LAST stdout line (parent parses JSON-or-float)."""
     import os
+    import statistics
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    print(_SECONDARIES[key]())
+    reps = _REPS.get(key, 1) if not os.environ.get("CSDR_TIMING_SMOKE") else 1
+    budget = float(os.environ.get("CSDR_BENCH_CHILD_BUDGET_S", "1e9"))
+    t0 = time.time()
+    vals = []
+    for i in range(reps):
+        t_rep = time.time()
+        vals.append(float(_SECONDARIES[key]()))
+        rep_cost = time.time() - t_rep
+        # drop reps, not the metric: stop if another rep (sans the first
+        # rep's compile share, so ~ this rep's wall) won't fit the window
+        if i + 1 < reps and (time.time() - t0) + 1.3 * rep_cost > budget * 0.85:
+            sys.stderr.write(f"bench: {key} spread stopped at {i + 1} reps "
+                             "(child budget)\n")
+            break
+    if len(vals) == 1:
+        print(vals[0])
+    else:
+        print(json.dumps({"value": statistics.median(vals),
+                          "min": min(vals), "max": max(vals),
+                          "reps": len(vals)}))
     return 0
 
 

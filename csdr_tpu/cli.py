@@ -1613,7 +1613,12 @@ def _c_timing(args):
         i = args.index("--segments")
         if i + 1 >= len(args) or args[i + 1].startswith("--"):
             raise SystemExit("--segments requires a value")
-        segs = int(args[i + 1])
+        try:
+            segs = int(args[i + 1])
+        except ValueError:
+            raise SystemExit("--segments must be an integer >= 1") from None
+        if segs < 1:
+            raise SystemExit("--segments must be an integer >= 1")
     else:
         segs = 1
     if "--octave" in args:

@@ -68,6 +68,15 @@ def build_ddc_bpsk31_bank(mesh: Mesh, shift_rates, decimation: int,
         sequential TED applies (domain-bounded gathers); bits packed
         back-to-back (valid prefix, symbol-rate dus writes)."""
         k = tr_subchunks if ch_re.shape[0] % tr_subchunks == 0 else 1
+        if k != tr_subchunks:
+            # loud, not silent: an explicitly requested sub-chunked A/B
+            # config must not quietly measure the k=1 path (r4 advisor);
+            # traces once, so this warns once per compile
+            import warnings
+            warnings.warn(
+                f"tr_subchunks={tr_subchunks} does not divide the "
+                f"per-channel chunk ({ch_re.shape[0]}); falling back to "
+                "the serial k=1 TED", stacklevel=2)
         if k == 1:
             tr_state, syms = tr.apply(tr_state, CF(ch_re, ch_im))
             bits, last = digital.dbpsk_decoder_c_u8(syms.data, last,

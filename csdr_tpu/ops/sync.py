@@ -360,8 +360,12 @@ def timing_recovery_block(algorithm: str, decimation: int, loop_gain: float = 0.
         # skipped symbols (r4 review).  Fall back to the serial scan when
         # the chunk cannot give every segment >= warmup_symbols symbols
         # (static in the chunk shape, so this is a trace-time choice).
+        # conservative worst case: the actual data is n + occ samples and
+        # occ may be 0, so guard on n alone — the optimistic (n + margin)
+        # bound could admit chunks up to margin/(segments*nsb) symbols
+        # short of warmup per segment (r4 advisor)
         segments_eff = segments
-        if segments > 1 and (n + margin) // (segments * nsb) < warmup_symbols:
+        if segments > 1 and n // (segments * nsb) < warmup_symbols:
             segments_eff = 1
 
         if segments_eff == 1:

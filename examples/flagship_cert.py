@@ -45,7 +45,9 @@ def main() -> int:
     c = args.channels
     decim, sps = 50, 256
     ddc = fd.fastddc_init(0.05, decim)
-    q = 25                                    # phase classes at D=50
+    q = fd._class_plan(ddc)[0]                # phase classes (25 at D=50);
+    # derived from the plan, not hardcoded, so frames rounding always
+    # matches the bank's own meta["q"] (r4 advisor)
     frames = (args.frames // q) * q
     n = frames * ddc.input_size
     steps = args.steps
