@@ -202,3 +202,67 @@ def test_flagship_subchunked_modem_identical():
         for ch, (r, s) in enumerate(zip(r_chans, s_chans)):
             np.testing.assert_array_equal(
                 r, s, err_msg=f"step {step_i} chan {ch}")
+
+
+def test_flagship_segmented_ted_on_mesh():
+    """VERDICT r4 #8: the segmented TED must actually EXECUTE segmented
+    under shard_map (every prior mesh run fell back to the serial scan via
+    the degenerate-span guard).  Chunk sized so each channel gives every
+    segment >= warmup_symbols symbols; BER parity with the serial bank on
+    real BPSK31 transmissions."""
+    decim = 16
+    sps = 64
+    segments = 4
+    warm = 32                     # ops/sync.py warmup_symbols default
+    mesh = _mesh(2, 4)
+    rng = np.random.default_rng(13)
+    centers = np.array([-0.3, -0.1, 0.15, 0.35])
+    texts = [bytes(f"SEGMENTED TED CH {i} DE CSDR_TPU K ".encode()) * 4
+             for i in range(4)]
+    tx_bits, basebands, nmin = [], [], None
+    for t in texts:
+        bits, bb = bpsk31.tx_chain(t, interpolation=sps * decim)
+        tx_bits.append(np.asarray(bits))
+        basebands.append(bb)
+        nmin = bb.shape[0] if nmin is None else min(nmin, bb.shape[0])
+
+    ddc = fd.fastddc_init(0.05, decim)
+    ins = ddc.input_size
+    n_time = mesh.shape["time"]
+    n = (nmin // (ins * n_time)) * ins * n_time
+    k = np.arange(n)
+    acc = np.zeros(n, np.complex64)
+    for bb, f in zip(basebands, centers):
+        z = np.asarray(bb.re[:n]) + 1j * np.asarray(bb.im[:n])
+        acc += (z * np.exp(2j * np.pi * f * k)).astype(np.complex64)
+    acc += 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    sh = NamedSharding(mesh, P("time"))
+    x = CF(jax.device_put(jnp.asarray(acc.real.astype(np.float32)), sh),
+           jax.device_put(jnp.asarray(acc.imag.astype(np.float32)), sh))
+
+    def run(segs):
+        init, step, meta = multichannel.build_ddc_bpsk31_bank(
+            mesh, [-f for f in centers], decim, sps, tr_segments=segs)
+        # prove the guard admits the segmented path: per-channel samples
+        # per chunk m must give every segment >= warm symbols
+        # (ops/sync.py degenerate-span guard, conservative n-only bound)
+        frames = n // meta["input_size"]
+        m = (frames // meta["q"]) * meta["group_out"]
+        assert m // (segments * sps) >= warm, (m, segments * sps * warm)
+        state = init(n)
+        state, (bits, counts) = jax.block_until_ready(step(state, x))
+        bits, counts = np.asarray(bits), np.asarray(counts)
+        return [bits[c, : counts[c]] for c in range(4)]
+
+    serial = run(1)
+    seg = run(segments)
+    for c in range(4):
+        # both modes must decode the channel (skip TED acquisition bits)
+        errs_s, tot_s = _align_errs(tx_bits[c][8:], serial[c][8:])
+        errs_g, tot_g = _align_errs(tx_bits[c][8:], seg[c][8:])
+        assert tot_s > 200 and tot_g > 200, (c, tot_s, tot_g)
+        assert errs_s / tot_s < 0.02, (c, errs_s, tot_s)
+        assert errs_g / tot_g < 0.02, (c, errs_g, tot_g)
+        # and agree with each other up to seam/warmup edge slips
+        errs_x, tot_x = _align_errs(serial[c][8:], seg[c][8:])
+        assert errs_x / tot_x < 0.02, (c, errs_x, tot_x)
