@@ -220,6 +220,35 @@ def _fir_vmem_kernel(xm_re, xh_re, xm_im, xh_im, w1_ref,
     # for sublane alignment; only halo row 0 is actually consumed.
     st_re = jnp.concatenate([xm_re[:, :], xh_re[:, :]], axis=0)  # (jb+8, rd)
     st_im = jnp.concatenate([xm_im[:, :], xh_im[:, :]], axis=0)
+    _vmem_core(st_re, st_im, w1_ref, o_re, o_im, jb=jb, precision=precision)
+
+
+def _fir_vmem_shift_kernel(xm_re, xh_re, xm_im, xh_im, ccr, cci,
+                           crm_re, crh_re, crm_im, crh_im, w1_ref,
+                           o_re, o_im, *, jb, precision):
+    """NCO-fused variant (VERDICT r4 #1): mixes the window by
+    e^{j*2*pi*(theta0 + rate*s)} IN VMEM before the FIR matmul, so the
+    shift costs no HBM round-trip (the reference fuses the same pair in
+    libcsdr_gpl.c:126-160 and its NEON hot loops libcsdr.c:352-389 +
+    472-524).  Sample s = row*rd + col factors the phasor into
+    crow[row] * ccol[col] — two tiny tables; ccol carries the traced
+    start phase.  The multiply runs in f32 BEFORE the bf16 split, so
+    FIR precision is unchanged and the extra work is pure VPU (the MXU
+    is the binding resource at ~76% busy — r4 accounting)."""
+    st_re = jnp.concatenate([xm_re[:, :], xh_re[:, :]], axis=0)  # (jb+8, rd)
+    st_im = jnp.concatenate([xm_im[:, :], xh_im[:, :]], axis=0)
+    ccol_re = ccr[0:1, :]                    # (1, rd) -> sublane broadcast
+    ccol_im = cci[0:1, :]
+    cr_re = jnp.concatenate([crm_re[:, :], crh_re[:, :]], axis=0)[:, 0:1]
+    cr_im = jnp.concatenate([crm_im[:, :], crh_im[:, :]], axis=0)[:, 0:1]
+    u_re = st_re * ccol_re - st_im * ccol_im
+    u_im = st_re * ccol_im + st_im * ccol_re
+    v_re = u_re * cr_re - u_im * cr_im
+    v_im = u_re * cr_im + u_im * cr_re
+    _vmem_core(v_re, v_im, w1_ref, o_re, o_im, jb=jb, precision=precision)
+
+
+def _vmem_core(st_re, st_im, w1_ref, o_re, o_im, *, jb, precision):
     up1 = st_re.shape[0] - 1        # roll is non-negative: up-1 == down-(n-1)
     if precision == "HIGH5":
         # Split-first variant: the bf16 hi/lo decomposition runs on the
@@ -386,6 +415,142 @@ def _fir_decimate_vmem(x_re, x_im, w1, decimation: int, kout: int,
             bytes_accessed=8 * (jrows + 8) * rd, transcendentals=0),
     )(x2_re, x2_re, x2_im, x2_im, w1)
     return o_re.reshape(-1), o_im.reshape(-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("decimation", "kout", "jb", "prec_name",
+                                    "interp"))
+def _fir_decimate_vmem_shift(x_re, x_im, w1, ccr, cci,
+                             crow_re, crow_im, decimation: int, kout: int,
+                             jb: int, prec_name: str, interp: bool = False):
+    d = decimation
+    rd = 128 * d
+    jrows = kout // 128
+    grid = jrows // jb
+    nrows = jrows + 8
+    x2_re = x_re[: nrows * rd].reshape(nrows, rd)
+    x2_im = x_im[: nrows * rd].reshape(nrows, rd)
+    kern = functools.partial(_fir_vmem_shift_kernel, jb=jb,
+                             precision=prec_name)
+    halo_map = lambda i: (i * (jb // 8) + jb // 8, 0)
+    o_re, o_im = pl.pallas_call(
+        kern,
+        interpret=interp,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((jb, rd), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rd), halo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, rd), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rd), halo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), halo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), halo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w1.shape[0], w1.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((jb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((jrows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((jrows, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * w1.shape[0] * kout + 16 * nrows * rd,
+            bytes_accessed=8 * nrows * rd + 8 * nrows * 128,
+            transcendentals=0),
+    )(x2_re, x2_re, x2_im, x2_im, ccr, cci,
+      crow_re, crow_re, crow_im, crow_im, w1)
+    return o_re.reshape(-1), o_im.reshape(-1)
+
+
+@functools.lru_cache(maxsize=32)
+def _shift_tables_cached(rate: float, rd: int, nrows: int):
+    """Static NCO factor tables for the fused kernel (numpy — cached jnp
+    constants would leak tracers): crow[r] = e^{2i*pi*frac(rate*rd*r)}
+    broadcast to 128 lanes, ccol[c] = e^{2i*pi*frac(rate*c)} tiled to 8
+    sublanes (Mosaic block sublane alignment).  Both exact in f64 before
+    the f32 store."""
+    r = np.arange(nrows, dtype=np.float64)
+    crow = np.exp(2j * np.pi * np.mod(np.float64(rate) * rd * r, 1.0))
+    c = np.arange(rd, dtype=np.float64)
+    ccol = np.exp(2j * np.pi * np.mod(np.float64(rate) * c, 1.0))
+    mk = lambda v, w: np.ascontiguousarray(
+        np.broadcast_to(v.astype(np.float32)[:, None]
+                        if w == 128 else v.astype(np.float32)[None, :],
+                        (nrows, 128) if w == 128 else (8, rd)))
+    return (mk(crow.real, 128), mk(crow.imag, 128),
+            mk(ccol.real, rd), mk(ccol.imag, rd))
+
+
+def fir_decimate_vmem_shift(xcat, taps, decimation: int, kout: int,
+                            rate: float, phase_cycles,
+                            precision=jax.lax.Precision.HIGHEST,
+                            jb: int | None = None):
+    """NCO-shift + VMEM-slab decimating FIR in ONE kernel pass over x
+    (reference fusion: decimating_shift_addition_cc libcsdr_gpl.c:126-160;
+    NEON pair libcsdr.c:352-389 + 472-524).  Semantics =
+    shift_cc(xcat, rate, 2*pi*phase_cycles) then fir_decimate valid-mode:
+    sample s of xcat is mixed by e^{j*2*pi*(phase_cycles + rate*s)}.
+
+    rate must be STATIC (the factor tables are host-built); phase_cycles
+    is a traced f32 scalar in cycles, folded into the column table with
+    one rotation of its 8*rd entries per call."""
+    from csdr_tpu.core.cplx import CF
+
+    d = decimation
+    t = int(taps.shape[0])
+    if jb is None:
+        jb = _default_jb(d, t, kout)
+    assert jb % 8 == 0 or jb == 8, jb
+    kout_pad = _round_up(kout, jb * 128)
+    rd = 128 * d
+    need = (kout_pad // 128 + 8) * rd
+    if xcat.shape[0] < need:
+        pad = need - xcat.shape[0]
+        xcat = CF(jnp.concatenate([xcat.re, jnp.zeros((pad,), xcat.re.dtype)]),
+                  jnp.concatenate([xcat.im, jnp.zeros((pad,), xcat.im.dtype)]))
+    prec_name = (precision.name if hasattr(precision, "name")
+                 else str(precision))
+    if prec_name == "HIGH":
+        prec_name = _HIGH_VARIANT
+    if prec_name not in ("HIGHEST", "HIGH1", "HIGH2", "HIGH3", "HIGH4",
+                         "HIGH6"):
+        raise ValueError(
+            f"fir_decimate_vmem_shift: precision {prec_name!r} not "
+            "validated for the Mosaic dot (DEFAULT wedges the device; "
+            "HIGH5 does not lower)")
+    from csdr_tpu.kernels.fft_pallas import interpret_mode
+    interp = interpret_mode()
+    nrows = kout_pad // 128 + 8
+    cr_re, cr_im, cc_re, cc_im = _shift_tables_cached(float(rate), rd, nrows)
+    # fold the traced start phase into the (tiny) column table: one
+    # complex rotation of 8*rd elements per call
+    th = 2.0 * np.pi * jnp.asarray(phase_cycles, jnp.float32)
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    ccr = jnp.asarray(cc_re) * cth - jnp.asarray(cc_im) * sth
+    cci = jnp.asarray(cc_re) * sth + jnp.asarray(cc_im) * cth
+    w1 = _toeplitz_w_cat_cached(
+        np.asarray(taps, np.float32).tobytes(), d, prec_name)
+    yr, yi = _fir_decimate_vmem_shift(
+        xcat.re, xcat.im, jnp.asarray(w1), ccr, cci,
+        jnp.asarray(cr_re), jnp.asarray(cr_im), d, kout_pad, jb,
+        prec_name, interp)
+    return CF(yr[:kout], yi[:kout])
 
 
 @functools.lru_cache(maxsize=64)   # multi-MB entries: bound (see above)

@@ -101,6 +101,75 @@ def fir_decimate_block(taps, decimation: int, name: str = "fir_decimate_cc",
                  rate_ratio=1.0 / d)
 
 
+def shifted_fir_decimate_block(rate: float, taps, decimation: int,
+                               name: str = "shift_fir_decimate_cc",
+                               precision=DEFAULT_PRECISION,
+                               force_fused: bool | None = None) -> Block:
+    """NCO shift + decimating FIR as ONE stream block (VERDICT r4 #1) —
+    semantically identical to shift_block(rate) | fir_decimate_block(taps,
+    D) but on TPU the pair runs as a single VMEM kernel pass over x
+    (kernels/fir_pallas.fir_decimate_vmem_shift; the standalone shift was
+    a pure HBM round-trip feeding the FIR's own input load — 66.5 us of
+    the WFM-advanced 96 us e2e, r4 stage profile).  Reference fuses the
+    same pair in libcsdr_gpl.c:126-160 and the NEON hot loops
+    libcsdr.c:352-389 + 472-524.
+
+    State: (phase_cycles f32, raw-sample tail CF).  The phase tracks
+    xcat[0]'s absolute stream phase so the re-shifted tail is bit-stable
+    across chunk boundaries; stream sample 0 starts at phase 0 exactly
+    like the serial chain.
+
+    force_fused: None = auto (fused on TPU when the VMEM kernel's shape
+    constraints hold); False = always the serial shift+FIR composition
+    (the A/B reference)."""
+    from csdr_tpu.kernels import fir_pallas
+    from csdr_tpu.ops import shift as shift_ops
+
+    taps_np = np.asarray(taps, np.float32)
+    t = len(taps_np)
+    d = decimation
+    tail_len = _round_up(t - 1, d)
+    warmup = tail_len // d
+    taps_j = jnp.asarray(taps_np)
+    # phase of xcat[0] so that stream sample 0 (at xcat[tail_len]) is 0
+    theta0 = float(np.mod(-np.float64(rate) * tail_len, 1.0))
+
+    def init():
+        return jnp.float32(theta0), CF.zeros((tail_len,))
+
+    def apply(state, x):
+        theta, tail = state
+        n = x.shape[0]
+        assert n % d == 0, f"chunk size {n} must be a multiple of decimation {d}"
+        xcat = cplx.concat([tail, x])
+        kout = n // d
+        from csdr_tpu.kernels.fft_pallas import interpret_mode
+        fused = jax.default_backend() == "tpu" or interpret_mode()
+        fused = fused and (t <= 129 * d and 128 * d <= 16384
+                           and kout >= 1024
+                           and fir_pallas._vmem_jb_cap(d, t) >= 8
+                           and precision in (jax.lax.Precision.HIGHEST,
+                                             jax.lax.Precision.HIGH))
+        if force_fused is not None:
+            fused = force_fused
+        if fused:
+            y = fir_pallas.fir_decimate_vmem_shift(
+                xcat, taps_j, d, kout, rate, theta, precision)
+        else:
+            sh, _ = shift_ops.shift_cc(xcat, rate, phase=2.0 * np.pi * theta)
+            if jax.default_backend() == "tpu":
+                y = fir_pallas.fir_decimate_best(sh, taps_j, d, kout,
+                                                 precision)
+            else:
+                y = fir_decimate_cc(sh, taps_j, d, precision)[:kout]
+        inc = np.float32(np.mod(np.float64(rate) * n, 1.0))
+        theta_next = jnp.mod(theta + inc, 1.0)
+        return (theta_next, xcat[n:]), y
+
+    return Block(name=name, init=init, apply=apply, warmup_out=warmup,
+                 rate_ratio=1.0 / d)
+
+
 def _interp_tap_matrix(taps: np.ndarray, interpolation: int) -> np.ndarray:
     """Hmat[s, ip] = taps[(I-ip) + s*I] (0 where out of range) so that
     y[i*I+ip] = sum_s x[i+s] * Hmat[s, ip] — the reference's tap-phase rule

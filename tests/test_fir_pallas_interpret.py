@@ -118,3 +118,88 @@ def test_deep_d_default_jb_capped_and_correct():
     y = fp.fir_decimate_vmem(x, taps, d, kout,
                              jb=fp._vmem_jb_cap(d, t))
     assert _snr_db(y, np.asarray(ref.re), np.asarray(ref.im)) > 90
+
+
+# ---------------------------------------------------------------------------
+# NCO-fused shift+FIR kernel (VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+def test_vmem_shift_kernel_matches_shift_then_fir():
+    """fir_decimate_vmem_shift == shift_cc then valid-mode FIR, at both a
+    zero and a nonzero start phase, long and SHORT taps (the fused kernel
+    serves the 81-tap WFM front end too)."""
+    from csdr_tpu.ops.shift import shift_cc
+    for d, t, rate, phase in ((10, 1023, -0.2, 0.0),
+                              (10, 81, 0.137, 0.3),
+                              (4, 243, -0.05, 0.9)):
+        kout = 16 * 128
+        x = _mk_input(kout, d, t, seed=3)
+        taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+        sh, _ = shift_cc(x, rate, phase=2 * np.pi * phase)
+        ref = fir_decimate_cc(sh, jnp.asarray(taps), d,
+                              jax.lax.Precision.HIGHEST)[:kout]
+        y = fp.fir_decimate_vmem_shift(x, jnp.asarray(taps), d, kout, rate,
+                                       jnp.float32(phase),
+                                       jax.lax.Precision.HIGHEST, jb=8)
+        snr = _snr_db(y, np.asarray(ref.re), np.asarray(ref.im))
+        assert snr > 110, (d, t, rate, phase, snr)
+
+
+def test_vmem_shift_kernel_high_variant():
+    from csdr_tpu.ops.shift import shift_cc
+    d, t, rate = 10, 1023, -0.21
+    kout = 16 * 128
+    x = _mk_input(kout, d, t, seed=5)
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    sh, _ = shift_cc(x, rate)
+    ref = fir_decimate_cc(sh, jnp.asarray(taps), d,
+                          jax.lax.Precision.HIGHEST)[:kout]
+    y = fp.fir_decimate_vmem_shift(x, jnp.asarray(taps), d, kout, rate,
+                                   jnp.float32(0.0),
+                                   jax.lax.Precision.HIGH, jb=8)
+    snr = _snr_db(y, np.asarray(ref.re), np.asarray(ref.im))
+    assert snr > 95, snr         # bf16x3 bound, same as the unfused HIGH
+
+
+def test_shifted_fir_block_streaming_matches_serial_chain():
+    """The fused streaming block == shift_block | fir_decimate_block fed
+    the same chunks (phase carried across chunk boundaries)."""
+    from csdr_tpu.core.block import Pipeline
+    from csdr_tpu.ops import fir as fir_ops, shift as shift_ops
+    d, t, rate = 10, 81, -0.2
+    chunk = 8 * 128 * d           # kout=1024 per chunk
+    nchunks = 3
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    rng = np.random.default_rng(11)
+    xs = [CF(jnp.asarray(rng.standard_normal(chunk).astype(np.float32)),
+             jnp.asarray(rng.standard_normal(chunk).astype(np.float32)))
+          for _ in range(nchunks)]
+    serial = Pipeline([shift_ops.shift_block(rate),
+                       fir_ops.fir_decimate_block(taps, d, use_pallas=False)])
+    fused = fir_ops.shifted_fir_decimate_block(rate, taps, d,
+                                               force_fused=True)
+    st_s, st_f = serial.init(), fused.init()
+    for i, x in enumerate(xs):
+        st_s, ys = serial.apply(st_s, x)
+        st_f, yf = fused.apply(st_f, x)
+        snr = _snr_db(yf, np.asarray(ys.re), np.asarray(ys.im))
+        assert snr > 110, (i, snr)
+
+
+def test_shifted_fir_block_fallback_matches_fused():
+    """force_fused=False (the serial composition inside the block) agrees
+    with the fused kernel — the A/B pair used for on-chip measurement."""
+    from csdr_tpu.ops import fir as fir_ops
+    d, t, rate = 10, 81, 0.11
+    chunk = 8 * 128 * d
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    rng = np.random.default_rng(12)
+    x = CF(jnp.asarray(rng.standard_normal(chunk).astype(np.float32)),
+           jnp.asarray(rng.standard_normal(chunk).astype(np.float32)))
+    a = fir_ops.shifted_fir_decimate_block(rate, taps, d, force_fused=True)
+    b = fir_ops.shifted_fir_decimate_block(rate, taps, d, force_fused=False)
+    sa, ya = a.apply(a.init(), x)
+    sb, yb = b.apply(b.init(), x)
+    snr = _snr_db(ya, np.asarray(yb.re), np.asarray(yb.im))
+    assert snr > 110, snr
+    np.testing.assert_allclose(np.asarray(sa[0]), np.asarray(sb[0]))
