@@ -49,7 +49,10 @@ def wfm_advanced(shift_rate: float = -0.2, decimation: int = 10,
     taps = firdes.firdes_lowpass_f(
         firdes.firdes_filter_len(transition_bw), 0.5 / decimation, window)
     if fuse_shift:
-        front = [fir.shifted_fir_decimate_block(shift_rate, taps, decimation)]
+        import jax
+        front = [fir.shifted_fir_decimate_block(
+            shift_rate, taps, decimation,
+            precision=jax.lax.Precision.HIGH)]
     else:
         front = [shift.shift_block(shift_rate),
                  fir.fir_decimate_block(taps, decimation,

@@ -137,12 +137,17 @@ def shifted_fir_decimate_block(rate: float, taps, decimation: int,
     def init():
         return jnp.float32(theta0), CF.zeros((tail_len,))
 
+    def _th(theta, off: int):
+        """theta + frac(rate*off), off static — phase at xcat[off]."""
+        return jnp.mod(theta + np.float32(np.mod(np.float64(rate) * off,
+                                                 1.0)), 1.0)
+
     def apply(state, x):
         theta, tail = state
         n = x.shape[0]
         assert n % d == 0, f"chunk size {n} must be a multiple of decimation {d}"
-        xcat = cplx.concat([tail, x])
         kout = n // d
+        rd = 128 * d
         from csdr_tpu.kernels.fft_pallas import interpret_mode
         fused = jax.default_backend() == "tpu" or interpret_mode()
         fused = fused and (t <= 129 * d and 128 * d <= 16384
@@ -152,19 +157,68 @@ def shifted_fir_decimate_block(rate: float, taps, decimation: int,
                                              jax.lax.Precision.HIGH))
         if force_fused is not None:
             fused = force_fused
-        if fused:
-            y = fir_pallas.fir_decimate_vmem_shift(
-                xcat, taps_j, d, kout, rate, theta, precision)
-        else:
-            sh, _ = shift_ops.shift_cc(xcat, rate, phase=2.0 * np.pi * theta)
+        rows = n // rd if n % rd == 0 else 0
+        jb = fir_pallas._default_jb(d, t, kout) if fused else 0
+        g = (rows - 8) // jb if (fused and rows) else 0
+        if fused and g >= 1:
+            # ZERO-CONCAT path (the composed win — r5 A/B: the tail- and
+            # pad-concats cost a full HBM round-trip of x each, 2x the
+            # kernel's own time at the WFM shape).  The kernel runs on x
+            # AS IS: grid g covers outputs whose windows sit inside x;
+            # the few edge outputs run as tiny XLA FIRs and only the
+            # SMALL output arrays are concatenated.
+            k_big = g * jb * 128
+            # kernel output k uses x[k*d : k*d+T) = xcat outputs k + h0
+            h0 = tail_len // d
+            y_big = fir_pallas.fir_decimate_vmem_shift(
+                x, taps_j, d, k_big, rate, _th(theta, tail_len), precision,
+                jb=jb)
+            # head: outputs [0, h0) — the only ones needing tail history
+            head_in = cplx.concat([tail, x[: (h0 - 1) * d + t - tail_len]])
+            sh_h, _ = shift_ops.shift_cc(head_in, rate,
+                                         phase=2.0 * np.pi * theta)
             if jax.default_backend() == "tpu":
-                y = fir_pallas.fir_decimate_best(sh, taps_j, d, kout,
-                                                 precision)
+                # a tiny Toeplitz matmul — the XLA conv is dispatch-bound
+                # (tens of us) on this backend even at 151 samples
+                y_head = fir_pallas.fir_decimate_best(sh_h, taps_j, d, h0,
+                                                      precision)
             else:
-                y = fir_decimate_cc(sh, taps_j, d, precision)[:kout]
-        inc = np.float32(np.mod(np.float64(rate) * n, 1.0))
-        theta_next = jnp.mod(theta + inc, 1.0)
-        return (theta_next, xcat[n:]), y
+                y_head = fir_decimate_cc(sh_h, taps_j, d, precision)[:h0]
+            # tail end: outputs [h0 + k_big, kout) from a small x slice
+            k0 = h0 + k_big
+            cnt = kout - k0
+            parts = [y_head, y_big]
+            if cnt > 0:
+                start = k0 * d - tail_len
+                span = (cnt - 1) * d + t
+                xt = x[start: start + span]
+                sh_t, _ = shift_ops.shift_cc(
+                    xt, rate, phase=2.0 * np.pi * _th(theta, k0 * d))
+                if jax.default_backend() == "tpu":
+                    y_tail = fir_pallas.fir_decimate_best(
+                        sh_t, taps_j, d, cnt, precision)
+                else:
+                    y_tail = fir_decimate_cc(sh_t, taps_j, d,
+                                             precision)[:cnt]
+                parts.append(y_tail)
+            y = cplx.concat(parts)
+            new_tail = x[n - tail_len:]
+        else:
+            xcat = cplx.concat([tail, x])
+            if fused:
+                y = fir_pallas.fir_decimate_vmem_shift(
+                    xcat, taps_j, d, kout, rate, theta, precision)
+            else:
+                sh, _ = shift_ops.shift_cc(xcat, rate,
+                                           phase=2.0 * np.pi * theta)
+                if jax.default_backend() == "tpu":
+                    y = fir_pallas.fir_decimate_best(sh, taps_j, d, kout,
+                                                     precision)
+                else:
+                    y = fir_decimate_cc(sh, taps_j, d, precision)[:kout]
+            new_tail = xcat[n:]
+        theta_next = _th(theta, n)
+        return (theta_next, new_tail), y
 
     return Block(name=name, init=init, apply=apply, warmup_out=warmup,
                  rate_ratio=1.0 / d)

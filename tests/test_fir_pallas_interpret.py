@@ -203,3 +203,30 @@ def test_shifted_fir_block_fallback_matches_fused():
     snr = _snr_db(ya, np.asarray(yb.re), np.asarray(yb.im))
     assert snr > 110, snr
     np.testing.assert_allclose(np.asarray(sa[0]), np.asarray(sb[0]))
+
+
+def test_shifted_fir_block_zero_concat_path():
+    """Chunks with n % (128*d) == 0 and enough rows take the zero-concat
+    split (kernel on x directly + tiny edge FIRs + output concat); must
+    match the serial shift|fir chain across chunk boundaries, exercising
+    head, big-kernel, and tail-end parts."""
+    from csdr_tpu.core.block import Pipeline
+    from csdr_tpu.ops import fir as fir_ops, shift as shift_ops
+    d, t, rate = 10, 81, -0.2
+    chunk = 24 * 128 * d          # rows=24 -> jb=8, g=2: all three parts
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    rng = np.random.default_rng(21)
+    xs = [CF(jnp.asarray(rng.standard_normal(chunk).astype(np.float32)),
+             jnp.asarray(rng.standard_normal(chunk).astype(np.float32)))
+          for _ in range(3)]
+    serial = Pipeline([shift_ops.shift_block(rate),
+                       fir_ops.fir_decimate_block(taps, d, use_pallas=False)])
+    fused = fir_ops.shifted_fir_decimate_block(rate, taps, d,
+                                               force_fused=True)
+    st_s, st_f = serial.init(), fused.init()
+    for i, x in enumerate(xs):
+        st_s, ys = serial.apply(st_s, x)
+        st_f, yf = fused.apply(st_f, x)
+        assert yf.shape[0] == ys.shape[0] == chunk // d
+        snr = _snr_db(yf, np.asarray(ys.re), np.asarray(ys.im))
+        assert snr > 110, (i, snr)
