@@ -413,7 +413,8 @@ def main():
             peaks = {"device": jax.devices()[0].device_kind,
                      "hbm_bw_GBps": roofline.measure_hbm_bw() / 1e9,
                      "mxu_high_Tflops":
-                         roofline.measure_mxu_flops("HIGH") / 1e12}
+                         roofline.measure_mxu_flops("HIGH") / 1e12,
+                     "vpu_Tflops": roofline.measure_vpu_flops() / 1e12}
             kout, d, t = 2048 * 128, 10, 1023   # matches bench_tpu_fir_decimate
             n = kout * d
             roof = roofline.account(
@@ -447,6 +448,7 @@ def main():
             f_inv = (8.0 * frames * (fft / decimation)
                      * channels * out_per_frame)
             ideal = f_fft + f_inv
+            vpu_fold = None
             if ddc.post_input_size % ddc.post_decimation == 0:
                 # executed MACs of the fused-channelizer path: subsequence-
                 # split DFT einsum + per-channel fold + shared iDFT
@@ -454,6 +456,12 @@ def main():
                 executed = (8.0 * frames * fft * inv
                             + 8.0 * frames * fft * channels
                             + 8.0 * channels * frames * inv * mpad)
+                # the per-channel spectrum-taps fold cannot ride the MXU
+                # (diagonal in the bin index): it is VPU work, and the
+                # BINDING resource at high channel counts (r5 profile:
+                # C=256 is fold-bound at ~40% of the measured VPU peak —
+                # docs/ROUND5.md)
+                vpu_fold = 8.0 * frames * fft * channels
             else:
                 # classed path executed MACs: fwd matmul-FFT kernel
                 # (dominated by the per-tile 128-point DFT matmuls) +
@@ -467,7 +475,8 @@ def main():
             byts = 8.0 * (n + frames * channels * out_per_frame)
             return roofline.account(
                 f"fastddc D={decimation} C={channels}",
-                per_s, byts, executed, roof["peaks"], "HIGH", ideal)
+                per_s, byts, executed, roof["peaks"], "HIGH", ideal,
+                vpu_flops=vpu_fold)
         return calc
     # the driver records the LAST stdout JSON line: print the proven
     # headline now (so it exists even if we die) AND again at exit
@@ -605,7 +614,8 @@ def main():
                                           if ddc_ref1 else None),
               roofline=_fastddc_account(16, 64, 1024))
     secondary("fastddc 256-channel channelizer wideband throughput",
-              "fastddc256", 1500)
+              "fastddc256", 1500,
+              roofline=_fastddc_account(16, 256, 512))
     # AM runs LAST: wedge events have clustered around AM-chain benches
     # (3 of 8 observed, incl. one clean standalone run — probabilistic at
     # most, but a wedge here must not cost the higher-value metrics above)

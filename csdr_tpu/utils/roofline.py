@@ -78,6 +78,24 @@ def measure_mxu_flops(precision_name: str = "HIGHEST", m: int = 4096) -> float:
     return 2.0 * m * m * m / per
 
 
+@functools.lru_cache(maxsize=None)
+def measure_vpu_flops(n: int = 4_000_000, chain: int = 64) -> float:
+    """Elementwise fma-chain flops/s (2*chain flops/element, one fused
+    pass): the VPU ceiling for diagonal/elementwise work — the binding
+    resource for the fastddc fold at high channel counts (r5: the C=256
+    channelizer is fold-bound at ~40% of this peak)."""
+    x = _dev_noise((n,))
+
+    def kern(x):
+        y = x
+        for _ in range(chain):
+            y = y * np.float32(1.0000001) + np.float32(1e-7)
+        return y
+
+    per = time_kernel(kern, x, k_pair=(32, 256))
+    return 2.0 * chain * n / per
+
+
 def device_peaks(precisions=("HIGHEST", "HIGH", "BF16")) -> dict:
     """Measured ceilings for the attached chip (cached per process)."""
     peaks = {"device": jax.devices()[0].device_kind,
@@ -89,7 +107,8 @@ def device_peaks(precisions=("HIGHEST", "HIGH", "BF16")) -> dict:
 
 def account(name: str, seconds: float, bytes_moved: float, flops: float,
             peaks: dict, precision_name: str = "HIGHEST",
-            ideal_flops: float | None = None) -> dict:
+            ideal_flops: float | None = None,
+            vpu_flops: float | None = None) -> dict:
     """Roofline account for one kernel invocation.
 
     bytes_moved: total HBM traffic the kernel MUST move (inputs read once +
@@ -108,7 +127,16 @@ def account(name: str, seconds: float, bytes_moved: float, flops: float,
     t_mxu = ideal_flops / mxu
     bound = "mxu" if t_mxu > t_mem else "hbm"
     t_light = max(t_mem, t_mxu)
-    return {
+    # vpu_flops: work that intrinsically cannot ride the MXU (diagonal /
+    # elementwise stages, e.g. the fastddc per-channel spectrum-taps fold)
+    t_vpu = None
+    if vpu_flops:
+        vpu = peaks.get("vpu_Tflops", 0.0) * 1e12
+        if vpu > 0:
+            t_vpu = vpu_flops / vpu
+            if t_vpu > t_light:
+                bound, t_light = "vpu", t_vpu
+    rec = {
         "kernel": name,
         "achieved_GBps": round(bytes_moved / seconds / 1e9, 1),
         "achieved_Tflops": round(flops / seconds / 1e12, 2),
@@ -126,3 +154,6 @@ def account(name: str, seconds: float, bytes_moved: float, flops: float,
         "hbm_busy_pct": round(100.0 * t_mem / seconds, 1),
         "precision": precision_name,
     }
+    if t_vpu is not None:
+        rec["vpu_busy_pct"] = round(100.0 * t_vpu / seconds, 1)
+    return rec
