@@ -45,8 +45,13 @@ def ssb_receiver(low_cut: float = 0.0, high_cut: float = 0.1,
     front = firdes.firdes_lowpass_f(firdes.firdes_filter_len(front_bw),
                                     0.5 / decimation)
     bp = fftfilt.bandpass_fir_fft_block(low_cut, high_cut, transition_bw)
+    import jax
     blocks = [
-        fir.fir_decimate_block(front, decimation, use_pallas=use_pallas),
+        # HIGH (bf16x3, ~107 dB) on the 801-tap front: -113 us e2e on-chip
+        # (r5 prefix profile, docs/ROUND5.md) with the audio SNR bound
+        # untouched
+        fir.fir_decimate_block(front, decimation, use_pallas=use_pallas,
+                               precision=jax.lax.Precision.HIGH),
         bp,
         stateless("realpart_cf", demod.realpart_cf),
     ]
@@ -62,8 +67,10 @@ def am_receiver(decimation: int = 50, transition_bw: float = 0.05,
     fir_decimate_cc 50 | amdemod_cf | fastdcblock_ff | agc_ff | limit_ff."""
     taps = firdes.firdes_lowpass_f(firdes.firdes_filter_len(front_bw),
                                    0.5 / decimation)
+    import jax
     return Pipeline([
-        fir.fir_decimate_block(taps, decimation, use_pallas=use_pallas),
+        fir.fir_decimate_block(taps, decimation, use_pallas=use_pallas,
+                               precision=jax.lax.Precision.HIGH),
         stateless("amdemod_cf", demod.amdemod_cf),
         util_ops.fastdcblock_block(),
         agc.agc_block(),

@@ -411,9 +411,18 @@ def agc_ff_chunked(x, reference=0.2, attack_rate=0.01, decay_rate=0.0001,
 
     def outer_body(st):
         i, _, ef, eh, f_prev_rows, _h, _c = st
-        frows, houts, conv = relax(
-            ef, eh, jnp.broadcast_to(ef[:, None, None],
-                                     f_prev_rows.shape).astype(jnp.float32))
+        # WARM START (r5): seed the inner relaxation with the previous
+        # outer round's converged trajectory instead of the flat entry
+        # broadcast (round 1's f_prev_rows IS that broadcast, so round 1
+        # is unchanged).  Entries move little between outer rounds, so
+        # the mask fixpoint re-verifies in ~2-6 rounds instead of
+        # re-deriving from flat (~10 on smooth audio): 20 -> 16 total
+        # trajectory_steps on the SSB chain's own audio, bit-identical
+        # output (each inner call still iterates to the SAME verified
+        # mask-self-consistency fixpoint at fixed entries — the
+        # Gauss-Seidel nesting the docstring calls load-bearing is
+        # untouched).
+        frows, houts, conv = relax(ef, eh, f_prev_rows)
         new_ef = jnp.concatenate([jnp.reshape(f0g, (1,)),
                                   frows[:-1, -1, -1]])
         new_eh = jnp.concatenate([jnp.reshape(h0i, (1,)), houts[:-1]])
