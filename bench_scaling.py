@@ -20,7 +20,7 @@ import sys
 import numpy as np
 
 
-def bench_ddc_bank(mesh, frames_per_shard=256, c_total=64):
+def bench_ddc_bank(mesh, frames_per_shard=256, c_total=64, k_pair=None):
     import jax
     from csdr_tpu.parallel import sharded_ddc
     from csdr_tpu.core.cplx import CF
@@ -33,11 +33,34 @@ def bench_ddc_bank(mesh, frames_per_shard=256, c_total=64):
     sh = NamedSharding(mesh, P("time"))
     x = CF(jax.device_put(x.re, sh), jax.device_put(x.im, sh))
     n = x.shape[0]
-    per = time_kernel(step, x)
+    per = time_kernel(step, x, k_pair=k_pair)
     return n / per / 1e6, step, x
 
 
-def bench_wfm_bank(mesh, per_shard=12800 * 8, c_total=8):
+def bench_ddc_fwd(mesh, frames_per_shard=256, k_pair=None):
+    """Seconds per step of the chan-REPLICATED forward (framing + halo +
+    FFT) alone — the serializing-proxy correction term (see --mode help:
+    each chan-shard recomputes the forward by design; real chips run those
+    copies concurrently, a 1-core virtual mesh serializes them)."""
+    import jax
+    from csdr_tpu.parallel import sharded_ddc
+    from csdr_tpu.ops import fastddc as fd
+    from csdr_tpu.core.cplx import CF
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from csdr_tpu.utils.timing import time_kernel
+
+    ddc = fd.fastddc_init(0.05, 16)
+    step = sharded_ddc.build_fwd_only_step(mesh, ddc)
+    n = mesh.shape["time"] * frames_per_shard * ddc.input_size
+    rng = np.random.default_rng(2)
+    sh = NamedSharding(mesh, P("time"))
+    import jax.numpy as jnp
+    x = CF(jax.device_put(jnp.asarray(rng.standard_normal(n), jnp.float32), sh),
+           jax.device_put(jnp.asarray(rng.standard_normal(n), jnp.float32), sh))
+    return time_kernel(step, x, k_pair=k_pair)
+
+
+def bench_wfm_bank(mesh, per_shard=12800 * 8, c_total=8, k_pair=None):
     import jax
     from csdr_tpu.parallel import sharded_wfm
     from csdr_tpu.core.cplx import CF
@@ -48,7 +71,7 @@ def bench_wfm_bank(mesh, per_shard=12800 * 8, c_total=8):
     step, x = sharded_wfm.example_bank(mesh, n, c_total=c_total)
     sh = NamedSharding(mesh, P("time"))
     x = CF(jax.device_put(x.re, sh), jax.device_put(x.im, sh))
-    per = time_kernel(step, x)
+    per = time_kernel(step, x, k_pair=k_pair)
     return n / per / 1e6, step, x
 
 
@@ -76,6 +99,20 @@ def main(argv=None):
     ap.add_argument("--sizes", default=None,
                     help="comma-separated device counts (default: powers "
                          "of two up to the device count)")
+    ap.add_argument("--chan", type=int, default=None,
+                    help="force the chan-axis size of every mesh")
+    ap.add_argument("--mode", choices=["weak", "overhead", "overhead-weak"],
+                    default="weak",
+                    help="weak: fixed per-device load, efficiency vs "
+                         "1-device x N (real multi-chip metric). "
+                         "overhead: fixed TOTAL load — on a shared-core "
+                         "virtual mesh every shard serializes onto the "
+                         "same silicon, so t(N)/t(1) isolates the EXTRA "
+                         "work the partitioned program introduces (halo "
+                         "duplication, corner-turn copies, collective "
+                         "glue); efficiency = throughput(N)/throughput(1). "
+                         "This is the honest 1-core proxy for the >=85% "
+                         "scaling bar (BASELINE.md)")
     args = ap.parse_args(argv)
     import jax
     if args.platform:
@@ -98,29 +135,78 @@ def main(argv=None):
     base = None
     for n in sizes:
         # time-major factorization: chan shards only when channels allow
-        chan = 1 if n <= 2 else 2
+        # (--chan overrides for factorization A/B)
+        chan = (args.chan if args.chan else (1 if n <= 2 else 2))
         time = n // chan
         mesh = Mesh(np.array(devs[:n]).reshape(chan, time), ("chan", "time"))
-        if args.bank == "ddc":
-            msps, step, x = bench_ddc_bank(mesh, frames_per_shard=args.frames,
-                                           c_total=args.channels)
+        # cap compiles at 2 per size: the auto-escalation would compile a
+        # fresh fori loop per k on every mesh size
+        kp = (4, 16) if devs[0].platform == "cpu" else None
+
+        def run(m, frames_mult=1):
+            # per-shard load FIXED (weak-scaling shapes); total grows with
+            # the time axis.  frames_mult lets the 1-device baseline match
+            # an N-shard run's TOTAL load.
+            if args.bank == "ddc":
+                return bench_ddc_bank(
+                    m, frames_per_shard=args.frames * frames_mult,
+                    c_total=args.channels, k_pair=kp)
+            return bench_wfm_bank(m, per_shard=12800 * 8 * frames_mult,
+                                  c_total=max(8, 2 * chan), k_pair=kp)
+
+        msps, step, x = run(mesh)
+        if args.mode in ("overhead", "overhead-weak"):
+            # baseline: the UNSHARDED program on one device.  On a
+            # shared-core virtual mesh both serialize onto the same
+            # silicon, so the ratio isolates partitioning overhead
+            # (halo duplication, corner-turn copies, collective glue) —
+            # the controllable part of the >=85% scaling bar.
+            #   overhead:      baseline at the SAME TOTAL load (includes
+            #                  per-shard shape-efficiency loss — the
+            #                  strong-scaling proxy);
+            #   overhead-weak: baseline at the SAME PER-SHARD load, ideal
+            #                  time = N x baseline (shapes equal per
+            #                  device — the weak-scaling / BASELINE.md
+            #                  proxy, since real chips keep per-chip
+            #                  shapes constant).
+            mesh1 = Mesh(np.array(devs[:1]).reshape(1, 1), ("chan", "time"))
+            if args.mode == "overhead":
+                base_msps, _, _ = run(mesh1, frames_mult=time)
+            else:
+                base_msps, _, _ = run(mesh1)
+            eff = msps / base_msps
         else:
-            msps, step, x = bench_wfm_bank(mesh, c_total=max(8, 2 * chan))
-        if base is None:
-            base = msps
-        eff = msps / (base * n)
+            if base is None:
+                base = msps
+            eff = msps / (base * n)
         rec = {
-            "bank": args.bank, "devices": n, "mesh": f"{chan}x{time}",
+            "bank": args.bank, "mode": args.mode, "devices": n,
+            "mesh": f"{chan}x{time}",
             "wideband_Msps": round(msps, 1),
             "scaling_efficiency": round(eff, 3),
         }
+        if (args.bank == "ddc" and chan > 1 and devs[0].platform == "cpu"
+                and args.mode in ("overhead", "overhead-weak")):
+            # serializing-proxy correction: the chan-replicated forward is
+            # deliberate compute-for-bandwidth (sharded_ddc docstring) and
+            # runs CONCURRENTLY on real chips; subtract the serialized
+            # extra copies from the proxy time
+            n_samp = x.shape[0]
+            per_fwd = bench_ddc_fwd(mesh, frames_per_shard=args.frames,
+                                    k_pair=kp)
+            t_n = n_samp / (msps * 1e6)
+            t_adj = max(t_n - per_fwd * (chan - 1) / chan, 1e-9)
+            rec["fwd_replicated_us"] = round(per_fwd * 1e6, 1)
+            rec["scaling_efficiency_adj"] = round(
+                (n_samp / t_adj / 1e6) / base_msps, 3)
         if args.collectives:
             from csdr_tpu.utils.collectives import collective_report
             rec["collectives_per_step"] = collective_report(step, x)
-        if devs[0].platform == "cpu":
+        if devs[0].platform == "cpu" and args.mode == "weak":
             # virtual devices share one host's cores: weak scaling CANNOT
             # speed up, so efficiency here only validates the rig runs;
-            # real numbers require a multi-chip slice
+            # real numbers require a multi-chip slice (use --mode overhead
+            # for the meaningful 1-core proxy)
             rec["note"] = "virtual cpu mesh - rig validation only"
         if jax.process_index() == 0:
             print(json.dumps(rec))

@@ -36,6 +36,33 @@ from csdr_tpu.parallel import halo as hx
 TWO_PI = 2.0 * np.pi
 
 
+def build_fwd_only_step(mesh: Mesh, ddc: fd.FastDDC):
+    """The chan-replicated part of the bank in isolation (framing + halo +
+    forward FFT): used by bench_scaling's serializing-proxy correction —
+    each chan-shard recomputes the forward by DESIGN (compute traded for
+    ICI bandwidth, see module docstring), which runs CONCURRENTLY on real
+    chips but serializes on a virtual 1-core mesh and would otherwise be
+    mis-charged as partitioning overhead."""
+    ov, ins = ddc.overlap_length, ddc.input_size
+
+    def shard_fn(x_re, x_im):
+        halo = hx.halo_from_left(CF(x_re, x_im), ov, "time")
+        frames = fd.overlap_frames(CF(x_re, x_im), halo, ins, ov)
+        spectra = fd.fwd_fft_frames(frames, "kernel")
+        return spectra.re, spectra.im
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P("time"), P("time")),
+                       out_specs=(P(("chan", "time")), P(("chan", "time"))),
+                       check_vma=False)
+
+    @jax.jit
+    def step(x: CF):
+        return fn(x.re, x.im)
+
+    return step
+
+
 def build_ddc_bank_step(mesh: Mesh, ddc: fd.FastDDC, shift_rates):
     """Returns (step, meta): step(x: CF wideband, sharded P('time')) ->
     (C, M) baseband sharded P('chan','time').
