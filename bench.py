@@ -169,7 +169,12 @@ def bench_tpu_nfm(n=2_400_000):
                          1j * rng.standard_normal(n)).astype(np.complex64))
     pipe = receivers.nfm_receiver()
     st = pipe.init()
-    per = time_kernel(lambda x: pipe.apply(st, x)[1], x, k_pair=(16, 128))
+    # (64, 512): at ~60 us/call a (16, 128) pair leaves only ~5 ms of
+    # k-delta against the ~25 ms (+-ms jitter) fetch floor — slope noise
+    # of +-20 us/call explains most of the r4 "NFM +-15% band" (one r5
+    # rerun read 10.7 us, a 4x impossibility).  k_big*per >= ~30 ms keeps
+    # the slope signal-dominated.
+    per = time_kernel(lambda x: pipe.apply(st, x)[1], x, k_pair=(64, 512))
     return n / per / 1e6
 
 

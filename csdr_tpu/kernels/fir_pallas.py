@@ -632,6 +632,22 @@ def _vmem_jb_cap(d: int, t: int) -> int:
     return min(256, (cap // 8) * 8)
 
 
+def vmem_min_t() -> int:
+    """Minimum tap length for the VMEM-slab dispatch in fir_decimate_best
+    (CSDR_FIR_VMEM_MIN_T, default 512).  At short taps the standalone vmem
+    kernel beats the XLA Toeplitz path (T=81: 36.8 vs 27.6 Gsps at deep
+    grids, HIGH) but historically lost INSIDE a jitted chain where the
+    opaque pallas boundary forfeits XLA's fusion of neighboring stages;
+    the zero-concat block split (ops/fir.fir_decimate_block) removed those
+    neighbors for chain-head FIRs, so the gate is env-tunable for
+    in-context A/B."""
+    import os
+    try:
+        return int(os.environ.get("CSDR_FIR_VMEM_MIN_T", "512"))
+    except ValueError:
+        return 512
+
+
 def _default_jb(d: int, t: int, kout: int) -> int:
     """jb default: the swept deep-grid winner (256 at kout>=262k with
     HIGH3, else 128), shrunk for small grids (matmul M-dim vs
@@ -747,7 +763,7 @@ def fir_decimate_best(xcat, taps, decimation: int, kout: int,
     # Mosaic dot was observed to wedge the device.
     prec_ok = precision in (jax.lax.Precision.HIGHEST,
                             jax.lax.Precision.HIGH)
-    if (prec_ok and 512 <= t <= 129 * d and 128 * d <= 16384
+    if (prec_ok and vmem_min_t() <= t <= 129 * d and 128 * d <= 16384
             and kout >= 1024 and _vmem_jb_cap(d, t) >= 8):
         return fir_decimate_vmem(xcat, taps, d, kout, precision)
     # round kout up to the Toeplitz kernel's tile_r-row tile, zero-padding

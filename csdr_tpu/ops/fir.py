@@ -68,33 +68,138 @@ def fir_decimate_ff(x, taps, decimation: int, precision=DEFAULT_PRECISION):
     return out[0]
 
 
+def _zerocat_body_kout(n: int, d: int, t: int, precision,
+                       allow_vmem: bool = True):
+    """Body dispatch plan for the zero-concat split: returns
+    ``(kb, kind, jb)`` where kb is the largest body output count (a
+    multiple of the dispatched kernel's output tile) such that the body
+    kernel runs on the chunk AS IS — every taps window sits inside x and
+    no internal input zero-pad concat triggers (each such concat is a full
+    HBM round-trip of the ~19 MB chunk — 2x the kernel's own time at the
+    WFM shape, the r5 composed-loss lesson, docs/ROUND5.md §2).
+    kb == 0 means the split is not worthwhile (tail-concat fallback).
+
+    kind "vmem": the VMEM-slab kernel, which needs (kb/128 + 8) * 128*d
+    input samples (8-row halo block) — taken at long taps (>= vmem_min_t)
+    and ALSO at short taps when d >= 32: the body has no neighboring
+    producer to fuse with (its input is the raw chunk), and at deep
+    decimation the XLA Toeplitz slab materialization dominates (on-chip
+    A/B at d=50/t=81: vmem 47.0 vs Toeplitz 65.4 us in the NFM chain;
+    at d=10/t=81 it is a wash, 62.7 vs 64.3 standalone, so the gate keeps
+    Toeplitz there).
+    kind "toeplitz": fir_decimate_best's XLA path, whose shifted reshapes
+    need (ceil(slab_len/rd) - 1 + kb/128) * rd input samples.
+    """
+    from csdr_tpu.kernels import fir_pallas
+
+    rd = 128 * d
+    if n < 2 * rd:
+        return 0, "toeplitz", 0
+    fit = (n - t) // d + 1 if n >= t else 0
+    prec_ok = precision in (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH)
+    vmem = (allow_vmem and prec_ok and t <= 129 * d
+            and (t >= fir_pallas.vmem_min_t() or d >= 32)
+            and rd <= 16384 and fir_pallas._vmem_jb_cap(d, t) >= 8)
+    if vmem:
+        kb = min(fit, max(0, n // rd - 8) * 128)
+        for _ in range(4):                    # jb depends on kb: fixpoint
+            if kb < 1024:                     # below the vmem dispatch gate
+                kb = 0
+                break
+            jb = fir_pallas._default_jb(d, t, kb)
+            kb2 = kb // (jb * 128) * (jb * 128)
+            if kb2 == kb:
+                return kb, "vmem", jb
+            kb = kb2
+        if kb >= 1024:
+            return kb, "vmem", fir_pallas._default_jb(d, t, kb)
+    slab_len = 127 * d + t
+    cs = -(-slab_len // rd)
+    kb = min(fit, max(0, n // rd - (cs - 1)) * 128) // 128 * 128
+    return (kb if kb >= 1024 else 0), "toeplitz", 0
+
+
 def fir_decimate_block(taps, decimation: int, name: str = "fir_decimate_cc",
-                       precision=DEFAULT_PRECISION, use_pallas: bool = True) -> Block:
+                       precision=DEFAULT_PRECISION, use_pallas: bool = True,
+                       force_zerocat: bool | None = None) -> Block:
     """Streaming decimating FIR Block (CF in, CF out).
 
     State: zero-init tail of length round_up(T-1, D).  Output per chunk of N
     (N % D == 0): exactly N/D samples.  warmup_out = ceil((T-1)/D).
+
+    On TPU the tail-concat (``concat([tail, x])``) is itself a full HBM
+    round-trip of the chunk, so when the chunk is deep enough the block
+    takes the ZERO-CONCAT split instead (same structure as
+    shifted_fir_decimate_block, docs/ROUND5.md §2): the kernel runs on x AS
+    IS for every output whose taps window sits inside x; the few head
+    outputs needing tail history and the tail-end remainder run as tiny
+    FIRs, and only the SMALL output arrays are concatenated.
+    force_zerocat: None = auto (TPU/interpret, deep chunk); True/False for
+    A/B and tests.
     """
     taps = np.asarray(taps, np.float32)
     t = len(taps)
     d = decimation
     tail_len = _round_up(t - 1, d)
     warmup = tail_len // d
+    h0 = tail_len // d                         # outputs needing tail history
 
     taps_j = jnp.asarray(taps)
 
     def init():
         return CF.zeros((tail_len,))
 
+    def _small_fir(xin, cnt):
+        """cnt outputs from a small input slice (valid-mode)."""
+        if jax.default_backend() == "tpu":
+            # tiny Toeplitz matmul — the XLA conv is dispatch-bound (tens
+            # of us) on this backend even at ~100 samples
+            from csdr_tpu.kernels.fir_pallas import fir_decimate_best
+            return fir_decimate_best(xin, taps_j, d, cnt, precision)
+        return fir_decimate_cc(xin, taps_j, d, precision)[:cnt]
+
     def apply(tail, x):
         n = x.shape[0]
         assert n % d == 0, f"chunk size {n} must be a multiple of decimation {d}"
+        kout = n // d
+        from csdr_tpu.kernels.fft_pallas import interpret_mode
+        from csdr_tpu.kernels.fir_pallas import fir_decimate_best
+        pallas_ok = use_pallas and (jax.default_backend() == "tpu"
+                                    or interpret_mode())
+        zc = pallas_ok
+        if force_zerocat is not None:
+            zc = force_zerocat
+        kb, kind, jb = (_zerocat_body_kout(n, d, t, precision,
+                                           allow_vmem=pallas_ok)
+                        if zc else (0, "toeplitz", 0))
+        if zc and kb and n >= tail_len and h0 + kb <= kout:
+            # body: output k (>= h0) uses xcat[k*d : k*d+t) = x[(k-h0)*d : ...)
+            if kind == "vmem":
+                from csdr_tpu.kernels.fir_pallas import fir_decimate_vmem
+                y_body = fir_decimate_vmem(x, taps_j, d, kb, precision, jb=jb)
+            elif use_pallas:
+                y_body = fir_decimate_best(x, taps_j, d, kb, precision)
+            else:
+                y_body = fir_decimate_cc(x, taps_j, d, precision)[:kb]
+            parts = []
+            if h0 > 0:
+                head_need = (h0 - 1) * d + t
+                head_in = (tail[:head_need] if head_need <= tail_len
+                           else cplx.concat([tail, x[:head_need - tail_len]]))
+                parts.append(_small_fir(head_in, h0))
+            parts.append(y_body)
+            k0 = h0 + kb
+            cnt = kout - k0
+            if cnt > 0:
+                start = k0 * d - tail_len
+                span = (cnt - 1) * d + t
+                parts.append(_small_fir(x[start: start + span], cnt))
+            return x[n - tail_len:] if tail_len else tail, cplx.concat(parts)
         xcat = cplx.concat([tail, x])
         if use_pallas:
-            from csdr_tpu.kernels.fir_pallas import fir_decimate_best
-            y = fir_decimate_best(xcat, taps_j, d, n // d, precision)
+            y = fir_decimate_best(xcat, taps_j, d, kout, precision)
         else:
-            y = fir_decimate_cc(xcat, taps_j, d, precision)[: n // d]
+            y = fir_decimate_cc(xcat, taps_j, d, precision)[:kout]
         return xcat[n:], y
 
     return Block(name=name, init=init, apply=apply, warmup_out=warmup,

@@ -230,3 +230,62 @@ def test_shifted_fir_block_zero_concat_path():
         assert yf.shape[0] == ys.shape[0] == chunk // d
         snr = _snr_db(yf, np.asarray(ys.re), np.asarray(ys.im))
         assert snr > 110, (i, snr)
+
+
+@pytest.mark.parametrize("d,t,chunk_rows", [
+    (50, 81, 24),     # the NFM front shape class: short taps, Toeplitz body
+    (10, 81, 24),     # WFM front class
+    (50, 41, 16),     # t < d: head needs NO x samples (head_need < tail_len)
+    (10, 1023, 24),   # long taps: vmem-kernel body dispatch
+])
+def test_fir_decimate_block_zero_concat_matches_concat(d, t, chunk_rows):
+    """The plain (unshifted) fir_decimate_block's zero-concat split must
+    equal the tail-concat reference across chunk boundaries (head, body,
+    and tail-end parts all exercised), for both Toeplitz- and vmem-body
+    dispatch shapes."""
+    from csdr_tpu.ops import fir as fir_ops
+    chunk = chunk_rows * 128 * d
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    rng = np.random.default_rng(31)
+    xs = [CF(jnp.asarray(rng.standard_normal(chunk).astype(np.float32)),
+             jnp.asarray(rng.standard_normal(chunk).astype(np.float32)))
+          for _ in range(3)]
+    ref = fir_ops.fir_decimate_block(taps, d, use_pallas=False,
+                                     force_zerocat=False)
+    zc = fir_ops.fir_decimate_block(taps, d, use_pallas=False,
+                                    force_zerocat=True)
+    st_r, st_z = ref.init(), zc.init()
+    for i, x in enumerate(xs):
+        st_r, yr = ref.apply(st_r, x)
+        st_z, yz = zc.apply(st_z, x)
+        assert yz.shape[0] == yr.shape[0] == chunk // d
+        snr = _snr_db(yz, np.asarray(yr.re), np.asarray(yr.im))
+        assert snr > 135, (i, snr)   # identical windows, float-assoc only
+        np.testing.assert_allclose(np.asarray(st_z.re), np.asarray(st_r.re))
+
+
+@pytest.mark.parametrize("d,t", [
+    (10, 1023),   # long taps: the t >= vmem_min_t dispatch
+    (50, 81),     # short taps, deep d: the d >= 32 vmem-body rule (NFM front)
+])
+def test_fir_decimate_block_zero_concat_pallas_body(d, t):
+    """Zero-concat with the pallas dispatch (interpret mode): the vmem
+    body kernel on x AS IS + tiny edge FIRs equals the serial chain."""
+    from csdr_tpu.ops import fir as fir_ops
+    chunk = 24 * 128 * d
+    taps = np.asarray(firdes.firdes_lowpass_f(t, 0.5 / d), np.float32)
+    rng = np.random.default_rng(32)
+    xs = [CF(jnp.asarray(rng.standard_normal(chunk).astype(np.float32)),
+             jnp.asarray(rng.standard_normal(chunk).astype(np.float32)))
+          for _ in range(2)]
+    ref = fir_ops.fir_decimate_block(taps, d, use_pallas=False,
+                                     force_zerocat=False)
+    zc = fir_ops.fir_decimate_block(taps, d, use_pallas=True,
+                                    force_zerocat=True)
+    st_r, st_z = ref.init(), zc.init()
+    for i, x in enumerate(xs):
+        st_r, yr = ref.apply(st_r, x)
+        st_z, yz = zc.apply(st_z, x)
+        assert yz.shape[0] == yr.shape[0] == chunk // d
+        snr = _snr_db(yz, np.asarray(yr.re), np.asarray(yr.im))
+        assert snr > 110, (i, snr)
